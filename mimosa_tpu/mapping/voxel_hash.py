@@ -1,0 +1,305 @@
+"""HBM-resident incremental voxel-hash map with per-voxel plane moments.
+
+TPU-native replacement for ``gtsam_points::iVox`` + the reference's
+``IncrementalVoxelMapPCL`` wrapper (reference include/mimosa/lidar/
+incremental_voxel_map.hpp:22-51, src/lidar/incremental_voxel_map.cpp:14-62,
+used at src/lidar/geometric.cpp:23-28,491-496). Capabilities mirrored:
+
+* incremental insertion with bounded per-voxel density (the reference's
+  ``min_dist_in_cell`` filter becomes "pre-downsample inserts at fine leaf +
+  saturate per-voxel count"),
+* LRU eviction by scan-age (``lru_horizon``),
+* neighbor-stencil lookup modes 1/7/19/27 (``neighbor_voxel_mode``),
+* nearest-plane query replacing kNN=5 + per-query plane fit: each voxel
+  maintains accumulated first/second moments, and planes (mean, normal,
+  validity) are refit for *all* voxels in one vectorized closed-form
+  3x3 eigendecomposition per map update — O(capacity) VPU work instead of
+  per-query kd-tree walks, which is the TPU-shaped trade.
+
+Everything is a fixed-shape functional update (donate-friendly), so the
+whole map lives under jit; insertion resolves hash races with a
+scatter-min claim protocol (deterministic winner = lowest point index).
+
+Arrays are sized ``capacity + 1``: the last row is a write-off slot that
+absorbs scatters from masked/dropped lanes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from mimosa_tpu.core.eigh3 import eigvalsh3, smallest_eigvec3
+
+# stencil neighbor offsets per reference neighbor_voxel_mode 1/7/19/27
+_OFFS27 = [(x, y, z) for x in (-1, 0, 1) for y in (-1, 0, 1) for z in (-1, 0, 1)]
+
+
+def _stencil(mode: int):
+    if mode == 1:
+        offs = [(0, 0, 0)]
+    elif mode == 7:
+        offs = [(0, 0, 0)] + [o for o in _OFFS27 if sum(abs(c) for c in o) == 1]
+    elif mode == 19:
+        offs = [o for o in _OFFS27 if sum(abs(c) for c in o) <= 2]
+        offs.sort(key=lambda o: sum(abs(c) for c in o))
+    elif mode == 27:
+        offs = sorted(_OFFS27, key=lambda o: sum(abs(c) for c in o))
+    else:
+        raise ValueError(f"neighbor_voxel_mode must be 1/7/19/27, got {mode}")
+    return tuple(offs)
+
+
+@dataclasses.dataclass(frozen=True)
+class VoxelMapConfig:
+    leaf_size: float = 0.5
+    capacity_log2: int = 19           # 2^19 = 524288 voxels
+    insert_probes: int = 8
+    query_probes: int = 4
+    neighbor_voxel_mode: int = 7      # 1 / 7 / 19 / 27
+    plane_min_points: float = 6.0
+    max_points_per_voxel: float = 64.0
+    lru_horizon: int = 100            # scans; <=0 disables eviction
+    plane_max_thickness: float = 0.08  # max sqrt(min eigenvalue) in meters
+    line_eig_ratio: float = 3.0       # invalid if ratio*lam_mid < lam_max
+
+    @property
+    def capacity(self) -> int:
+        return 1 << self.capacity_log2
+
+
+class VoxelMap(NamedTuple):
+    """All arrays have leading dim capacity+1 (last row = write-off slot)."""
+
+    coords: jnp.ndarray      # [C+1,3] int32 voxel integer coords
+    occupied: jnp.ndarray    # [C+1] bool
+    n: jnp.ndarray           # [C+1] f32 accumulated point count
+    psum: jnp.ndarray        # [C+1,3] f32 sum of points (world frame)
+    pssum: jnp.ndarray       # [C+1,6] f32 packed xx,xy,xz,yy,yz,zz moments
+    last_touch: jnp.ndarray  # [C+1] int32 scan index of last insertion
+    mean: jnp.ndarray        # [C+1,3] f32 plane cache
+    normal: jnp.ndarray      # [C+1,3] f32 unit plane normal
+    plane_valid: jnp.ndarray  # [C+1] bool
+
+    @property
+    def num_occupied(self):
+        return jnp.sum(self.occupied[:-1].astype(jnp.int32))
+
+
+def create(cfg: VoxelMapConfig, dtype=jnp.float32) -> VoxelMap:
+    c1 = cfg.capacity + 1
+    return VoxelMap(
+        coords=jnp.full((c1, 3), jnp.iinfo(jnp.int32).min, jnp.int32),
+        occupied=jnp.zeros(c1, bool),
+        n=jnp.zeros(c1, dtype),
+        psum=jnp.zeros((c1, 3), dtype),
+        pssum=jnp.zeros((c1, 6), dtype),
+        last_touch=jnp.zeros(c1, jnp.int32),
+        mean=jnp.zeros((c1, 3), dtype),
+        normal=jnp.zeros((c1, 3), dtype),
+        plane_valid=jnp.zeros(c1, bool),
+    )
+
+
+def voxel_coords(points, leaf_size):
+    """Integer voxel coordinates (floor), batched. points [...,3] -> int32."""
+    return jnp.floor(points / leaf_size).astype(jnp.int32)
+
+
+def hash_coords(vc):
+    """XOR spatial hash (reference lidar/utils.hpp:228-238 equivalent)."""
+    h = (vc[..., 0] * jnp.int32(73856093)) ^ (vc[..., 1] * jnp.int32(19349669)) \
+        ^ (vc[..., 2] * jnp.int32(83492791))
+    return h
+
+
+def _slot_of(h, probe, mask):
+    return (h + probe) & jnp.int32(mask)
+
+
+def find_slots(vmap: VoxelMap, vc, cfg: VoxelMapConfig, probes=None):
+    """Probe for existing voxels. Returns (slot [N] int32, found [N] bool);
+    slot == capacity (write-off row) where not found."""
+    probes = probes or cfg.query_probes
+    mask = cfg.capacity - 1
+    h = hash_coords(vc)
+    n = vc.shape[0]
+    slot = jnp.full(n, cfg.capacity, jnp.int32)
+    found = jnp.zeros(n, bool)
+
+    def body(i, carry):
+        slot, found = carry
+        cand = _slot_of(h, i, mask)
+        occ = vmap.occupied[cand]
+        match = occ & jnp.all(vmap.coords[cand] == vc, axis=-1)
+        newly = match & ~found
+        slot = jnp.where(newly, cand, slot)
+        found = found | match
+        return slot, found
+
+    slot, found = jax.lax.fori_loop(0, probes, body, (slot, found))
+    return slot, found
+
+
+def insert(vmap: VoxelMap, points, valid, scan_idx, cfg: VoxelMapConfig) -> VoxelMap:
+    """Insert world-frame points [N,3] (bool mask ``valid``) at scan ``scan_idx``.
+
+    Race-free parallel hash insertion: per probe round, unresolved lanes
+    claim empty slots via scatter-min of their lane index; the winner writes
+    the voxel coords, then every unresolved lane re-checks the slot (so all
+    lanes of the same voxel resolve together). Lanes unresolved after
+    ``insert_probes`` rounds are dropped (hash-full backpressure, analogous
+    to the reference map simply growing — here capacity is provisioned).
+    """
+    n_pts = points.shape[0]
+    cap = cfg.capacity
+    mask = cap - 1
+    dtype = points.dtype
+    vc = voxel_coords(points, jnp.asarray(cfg.leaf_size, dtype))
+    h = hash_coords(vc)
+    lane = jnp.arange(n_pts, dtype=jnp.int32)
+
+    slot = jnp.full(n_pts, cap, jnp.int32)
+    resolved = ~valid  # invalid lanes never participate
+    coords = vmap.coords
+    occupied = vmap.occupied
+
+    def round_body(i, carry):
+        slot, resolved, coords, occupied = carry
+        cand = _slot_of(h, i, mask)
+        # 1) match against existing voxels
+        occ = occupied[cand]
+        match = occ & jnp.all(coords[cand] == vc, axis=-1)
+        take = match & ~resolved
+        slot = jnp.where(take, cand, slot)
+        resolved = resolved | take
+        # 2) claim empty slots (winner = lowest lane index)
+        contender = ~resolved & ~occ
+        claim_tgt = jnp.where(contender, cand, cap)
+        claims = jnp.full(cap + 1, n_pts, jnp.int32).at[claim_tgt].min(lane)
+        winner = contender & (claims[cand] == lane)
+        wr_tgt = jnp.where(winner, cand, cap)
+        coords = coords.at[wr_tgt].set(vc)
+        occupied = occupied.at[wr_tgt].set(True)
+        # 3) re-check: same-voxel lanes resolve onto the fresh claim
+        occ2 = occupied[cand]
+        match2 = occ2 & jnp.all(coords[cand] == vc, axis=-1)
+        take2 = match2 & ~resolved
+        slot = jnp.where(take2, cand, slot)
+        resolved = resolved | take2
+        return slot, resolved, coords, occupied
+
+    slot, resolved, coords, occupied = jax.lax.fori_loop(
+        0, cfg.insert_probes, round_body, (slot, resolved, coords, occupied)
+    )
+
+    # accumulate moments with per-voxel saturation; the within-batch rank of
+    # each lane in its voxel (segmented cumcount over sorted slots) makes the
+    # cap exact even when many lanes hit the same voxel in one insert
+    ok = resolved & valid & (slot < cap)
+    order = jnp.argsort(jnp.where(ok, slot, cap), stable=True)
+    sorted_slot = jnp.where(ok, slot, cap)[order]
+    idx = jnp.arange(n_pts, dtype=jnp.int32)
+    is_start = jnp.concatenate(
+        [jnp.ones(1, bool), sorted_slot[1:] != sorted_slot[:-1]])
+    start_idx = jax.lax.cummax(jnp.where(is_start, idx, 0))
+    rank = jnp.zeros(n_pts, jnp.int32).at[order].set(idx - start_idx)
+    ok = ok & (vmap.n[slot] + rank.astype(dtype) < cfg.max_points_per_voxel)
+    tgt = jnp.where(ok, slot, cap)
+    w = ok.astype(dtype)
+    p = points
+    outer = jnp.stack(
+        [p[:, 0] * p[:, 0], p[:, 0] * p[:, 1], p[:, 0] * p[:, 2],
+         p[:, 1] * p[:, 1], p[:, 1] * p[:, 2], p[:, 2] * p[:, 2]], axis=-1
+    )
+    new = vmap._replace(
+        coords=coords,
+        occupied=occupied,
+        n=vmap.n.at[tgt].add(w),
+        psum=vmap.psum.at[tgt].add(p * w[:, None]),
+        pssum=vmap.pssum.at[tgt].add(outer * w[:, None]),
+        last_touch=vmap.last_touch.at[tgt].max(
+            jnp.full(n_pts, scan_idx, jnp.int32)),
+    )
+    return new
+
+
+def evict_stale(vmap: VoxelMap, scan_idx, cfg: VoxelMapConfig) -> VoxelMap:
+    """LRU-horizon eviction (reference iVox lru_horizon): clear voxels not
+    touched within ``lru_horizon`` scans. Masked O(capacity) op."""
+    if cfg.lru_horizon <= 0:
+        return vmap
+    stale = vmap.occupied & (scan_idx - vmap.last_touch > cfg.lru_horizon)
+    keep = ~stale
+    kf = keep.astype(vmap.n.dtype)
+    return vmap._replace(
+        coords=jnp.where(stale[:, None],
+                         jnp.iinfo(jnp.int32).min, vmap.coords),
+        occupied=vmap.occupied & keep,
+        n=vmap.n * kf,
+        psum=vmap.psum * kf[:, None],
+        pssum=vmap.pssum * kf[:, None],
+        plane_valid=vmap.plane_valid & keep,
+    )
+
+
+def update_planes(vmap: VoxelMap, cfg: VoxelMapConfig) -> VoxelMap:
+    """Refit every voxel's plane from its accumulated moments (vectorized
+    closed-form 3x3 eigendecomposition; replaces the reference's per-query
+    kNN plane fit geometric_factor.hpp:176-229)."""
+    dtype = vmap.psum.dtype
+    n = jnp.maximum(vmap.n, 1.0)
+    mean = vmap.psum / n[:, None]
+    s = vmap.pssum / n[:, None]
+    xx, xy, xz, yy, yz, zz = (s[:, 0], s[:, 1], s[:, 2], s[:, 3], s[:, 4], s[:, 5])
+    m = mean
+    cov = jnp.stack([
+        xx - m[:, 0] * m[:, 0], xy - m[:, 0] * m[:, 1], xz - m[:, 0] * m[:, 2],
+        xy - m[:, 0] * m[:, 1], yy - m[:, 1] * m[:, 1], yz - m[:, 1] * m[:, 2],
+        xz - m[:, 0] * m[:, 2], yz - m[:, 1] * m[:, 2], zz - m[:, 2] * m[:, 2],
+    ], axis=-1).reshape(-1, 3, 3)
+    lam, nrm = smallest_eigvec3(cov)
+    thick_ok = lam[:, 0] <= jnp.asarray(cfg.plane_max_thickness**2, dtype)
+    not_line = cfg.line_eig_ratio * lam[:, 1] >= lam[:, 2]
+    valid = vmap.occupied & (vmap.n >= cfg.plane_min_points) & thick_ok & not_line
+    valid = valid.at[-1].set(False)
+    return vmap._replace(mean=mean, normal=nrm, plane_valid=valid)
+
+
+def query_planes(vmap: VoxelMap, points, cfg: VoxelMapConfig):
+    """Nearest valid plane for each query point via the neighbor stencil.
+
+    Returns (normal [N,3], mean [N,3], found [N] bool). Among valid planes in
+    the stencil, picks the one whose mean is closest to the query point —
+    the precomputed-plane analogue of the reference's kNN=5 search over
+    neighbor voxels (geometric_factor.hpp:280-317).
+    """
+    offs = _stencil(cfg.neighbor_voxel_mode)
+    vc0 = voxel_coords(points, jnp.asarray(cfg.leaf_size, points.dtype))
+    n = points.shape[0]
+    dtype = points.dtype
+    big = jnp.asarray(jnp.finfo(dtype).max, dtype)
+    best_d2 = jnp.full(n, big, dtype)
+    best_slot = jnp.full(n, cfg.capacity, jnp.int32)
+
+    offs_arr = jnp.asarray(offs, jnp.int32)  # [S,3]
+
+    def body(i, carry):
+        best_d2, best_slot = carry
+        vc = vc0 + offs_arr[i]
+        slot, found = find_slots(vmap, vc, cfg)
+        pv = vmap.plane_valid[slot] & found
+        d = vmap.mean[slot] - points
+        d2 = jnp.sum(d * d, axis=-1)
+        better = pv & (d2 < best_d2)
+        best_d2 = jnp.where(better, d2, best_d2)
+        best_slot = jnp.where(better, slot, best_slot)
+        return best_d2, best_slot
+
+    best_d2, best_slot = jax.lax.fori_loop(0, len(offs), body,
+                                           (best_d2, best_slot))
+    found = best_slot < cfg.capacity
+    return vmap.normal[best_slot], vmap.mean[best_slot], found
