@@ -1,0 +1,374 @@
+"""Dense sliding-window Gauss-Newton fusion core.
+
+TPU-native replacement for the reference's graph::Manager +
+``gtsam::IncrementalFixedLagSmoother``/iSAM2 (reference
+src/graph/manager.cpp:45-93,138-499,578-620). Instead of incremental
+factor-graph surgery, the window is a dense block state
+
+    x = [ state_0 (15) | state_1 (15) | ... | state_{K-1} (15) | g (2) ]
+
+with per-state tangent [dR(3), dp(3), dv(3), dbg(3), dba(3)] and a shared
+2-dof gravity direction. The window size K is static so everything —
+factor linearization, assembly, Cholesky solve, retraction — lives in one
+jit program. The fixed-lag behavior is reproduced by Schur-complement
+marginalization of the oldest state into a dense Gaussian prior anchored
+at per-state linearization points (replacing iSAM2 factor removal,
+SURVEY.md §7), and measurements (ICP / radar / odometry Hessian blocks)
+are absorbed into that prior once their scan is finalized.
+
+The window is tiny (K*15+2 <= ~250 dof) — the expensive work is the
+residual/Jacobian kernels feeding it, which is exactly the TPU-friendly
+split.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from mimosa_tpu.core import lie
+from mimosa_tpu.imu import preintegration as pre
+
+SD = 15  # per-state tangent dim
+
+
+@dataclasses.dataclass(frozen=True)
+class WindowConfig:
+    K: int = 8                         # max states in window
+    g_mag: float = 9.81
+    damping: float = 1e-6              # LM damping added to H diagonal
+    # bias random walk densities (sigma * sqrt(dt) between-factor,
+    # ref imu/manager.cpp:407-426)
+    sigma_bg_rw: float = 1e-4
+    sigma_ba_rw: float = 1e-3
+    # initial priors (ref graph/manager.cpp:637-694 SmootherConfig sigmas)
+    init_sigma_rot: float = 0.05
+    init_sigma_pos: float = 1e-3
+    init_sigma_vel: float = 0.05
+    init_sigma_bg: float = 1e-2
+    init_sigma_ba: float = 1e-1
+    init_sigma_grav: float = 0.05
+
+    @property
+    def D(self) -> int:
+        return self.K * SD + 2
+
+
+class Window(NamedTuple):
+    # current estimates
+    q: jnp.ndarray       # [K,4]
+    p: jnp.ndarray       # [K,3]
+    v: jnp.ndarray       # [K,3]
+    bg: jnp.ndarray      # [K,3]
+    ba: jnp.ndarray      # [K,3]
+    g_dir: jnp.ndarray   # [3] unit, direction of gravitational acceleration
+    ts: jnp.ndarray      # [K] f64 timestamps (0 where inactive)
+    active: jnp.ndarray  # [K] bool
+    # Gaussian prior: E(x) = 0.5 d^T H d + b^T d, d = x [-] lin
+    H_prior: jnp.ndarray  # [D,D]
+    b_prior: jnp.ndarray  # [D]
+    lin_q: jnp.ndarray
+    lin_p: jnp.ndarray
+    lin_v: jnp.ndarray
+    lin_bg: jnp.ndarray
+    lin_ba: jnp.ndarray
+    lin_g: jnp.ndarray
+
+
+def create(cfg: WindowConfig, dtype=jnp.float32) -> Window:
+    K, D = cfg.K, cfg.D
+    q0 = jnp.tile(lie.quat_identity(dtype), (K, 1))
+    z3 = jnp.zeros((K, 3), dtype)
+    g = jnp.asarray([0.0, 0.0, -1.0], dtype)
+    return Window(
+        q=q0, p=z3, v=z3, bg=z3, ba=z3, g_dir=g,
+        ts=jnp.zeros(K, jnp.float64), active=jnp.zeros(K, bool),
+        H_prior=jnp.zeros((D, D), dtype), b_prior=jnp.zeros(D, dtype),
+        lin_q=q0, lin_p=z3, lin_v=z3, lin_bg=z3, lin_ba=z3, lin_g=g,
+    )
+
+
+# ---------------------------------------------------------------------------
+# tangent bookkeeping
+# ---------------------------------------------------------------------------
+
+def local_delta(w: Window, cfg: WindowConfig):
+    """d = current [-] lin, the prior's evaluation point. [D]"""
+    dr_dp = jax.vmap(lie.se3_local)(w.lin_q, w.lin_p, w.q, w.p)  # [K,6]
+    dv = w.v - w.lin_v
+    dbg = w.bg - w.lin_bg
+    dba = w.ba - w.lin_ba
+    per_state = jnp.concatenate([dr_dp, dv, dbg, dba], axis=-1)  # [K,15]
+    dg = lie.s2_local(w.lin_g, w.g_dir)
+    return jnp.concatenate([per_state.reshape(-1), dg])
+
+
+def apply_update(w: Window, dx, cfg: WindowConfig) -> Window:
+    """Retract tangent update onto all active states + gravity."""
+    K = cfg.K
+    dxs = dx[: K * SD].reshape(K, SD)
+    dxs = jnp.where(w.active[:, None], dxs, 0.0)
+    q2, p2 = jax.vmap(lie.se3_retract)(w.q, w.p, dxs[:, :6])
+    return w._replace(
+        q=q2, p=p2, v=w.v + dxs[:, 6:9],
+        bg=w.bg + dxs[:, 9:12], ba=w.ba + dxs[:, 12:15],
+        g_dir=lie.s2_retract(w.g_dir, dx[K * SD:]),
+    )
+
+
+def rebase_prior(w: Window, cfg: WindowConfig) -> Window:
+    """Shift the prior's linearization point to the current estimates
+    (first-order): b <- b + H d, lin <- current."""
+    d = local_delta(w, cfg).astype(w.b_prior.dtype)
+    return w._replace(
+        b_prior=w.b_prior + w.H_prior @ d,
+        lin_q=w.q, lin_p=w.p, lin_v=w.v, lin_bg=w.bg, lin_ba=w.ba,
+        lin_g=w.g_dir,
+    )
+
+
+def init_priors(w: Window, cfg: WindowConfig) -> Window:
+    """Anchor priors on slot 0 (X, V, B) and gravity
+    (ref graph/manager.cpp:637-694)."""
+    dtype = w.H_prior.dtype
+    diag = jnp.concatenate([
+        jnp.full(3, 1.0 / cfg.init_sigma_rot**2),
+        jnp.full(3, 1.0 / cfg.init_sigma_pos**2),
+        jnp.full(3, 1.0 / cfg.init_sigma_vel**2),
+        jnp.full(3, 1.0 / cfg.init_sigma_bg**2),
+        jnp.full(3, 1.0 / cfg.init_sigma_ba**2),
+    ]).astype(dtype)
+    H = w.H_prior.at[jnp.arange(SD), jnp.arange(SD)].add(diag)
+    gi = cfg.K * SD
+    H = H.at[jnp.arange(gi, gi + 2), jnp.arange(gi, gi + 2)].add(
+        1.0 / cfg.init_sigma_grav**2)
+    return w._replace(H_prior=H)
+
+
+def add_measurement_block(w: Window, slot, H6, b6, cfg: WindowConfig) -> Window:
+    """Absorb a finalized pose-measurement quadratic (e.g. the scan's ICP
+    factor) into the prior at the current linearization. Call after
+    ``rebase_prior``. ``slot`` may be a traced int scalar."""
+    idx = slot * SD + jnp.arange(6)
+    H = w.H_prior.at[idx[:, None], idx[None, :]].add(H6.astype(w.H_prior.dtype))
+    b = w.b_prior.at[idx].add(b6.astype(w.b_prior.dtype))
+    return w._replace(H_prior=H, b_prior=b)
+
+
+# ---------------------------------------------------------------------------
+# IMU chain factors
+# ---------------------------------------------------------------------------
+
+def _imu_factor_blocks(w: Window, preints: pre.PreintState, cfg: WindowConfig):
+    """Linearize all K-1 consecutive IMU factors at current values.
+
+    preints: PreintState stacked with leading dim K-1 (segment i -> i+1).
+    Returns (J [K-1, 9, 26], r [K-1, 9], info_ok [K-1] bool) where the 26
+    columns are [xi_i(9) | xi_j(9) | xi_bias_i(6) | xi_g(2)], whitened by
+    the preintegration covariance.
+    """
+    f = pre.make_residual_fn(cfg.g_mag)
+    z9 = jnp.zeros(9, w.p.dtype)
+    z6 = jnp.zeros(6, w.p.dtype)
+    z2 = jnp.zeros(2, w.p.dtype)
+
+    def one(pre_i, q_i, p_i, v_i, bg_i, ba_i, q_j, p_j, v_j):
+        lin = (q_i, p_i, v_i, q_j, p_j, v_j, bg_i, ba_i, w.g_dir)
+        r = f(z9, z9, z6, z2, pre_i, lin)
+        Ji, Jj, Jb, Jg = jax.jacfwd(f, argnums=(0, 1, 2, 3))(
+            z9, z9, z6, z2, pre_i, lin)
+        J = jnp.concatenate([Ji, Jj, Jb, Jg], axis=-1)  # [9,26]
+        # whiten with the preintegration covariance
+        cov = pre_i.cov + jnp.eye(9, dtype=r.dtype) * 1e-10
+        L = jnp.linalg.cholesky(cov)
+        r_w = jax.scipy.linalg.solve_triangular(L, r, lower=True)
+        J_w = jax.scipy.linalg.solve_triangular(L, J, lower=True)
+        return J_w, r_w
+
+    J, r = jax.vmap(one)(
+        preints,
+        w.q[:-1], w.p[:-1], w.v[:-1], w.bg[:-1], w.ba[:-1],
+        w.q[1:], w.p[1:], w.v[1:],
+    )
+    return J, r
+
+
+def _bias_rw_blocks(w: Window, preints: pre.PreintState, cfg: WindowConfig):
+    """Bias random-walk between factors, whitened: r = (b_j - b_i)/(sigma*sqrt(dt))."""
+    dt = jnp.maximum(preints.dt, 1e-3)
+    sg = cfg.sigma_bg_rw * jnp.sqrt(dt)
+    sa = cfg.sigma_ba_rw * jnp.sqrt(dt)
+    r_bg = (w.bg[1:] - w.bg[:-1]) / sg[:, None]
+    r_ba = (w.ba[1:] - w.ba[:-1]) / sa[:, None]
+    return r_bg, r_ba, sg, sa
+
+
+def build_system(w: Window, preints: pre.PreintState, factor_valid,
+                 cfg: WindowConfig, meas=()):
+    """Assemble normal equations H dx = rhs over the full window tangent.
+
+    factor_valid: [K-1] bool, IMU factor between slot i and i+1 active.
+    meas: iterable of (slot (may be traced), H6, b6) live measurement blocks
+    (e.g. the current scan's freshly linearized ICP factor).
+    """
+    K, D = cfg.K, cfg.D
+    dtype = w.p.dtype
+    H = jnp.zeros((D, D), dtype)
+    rhs = jnp.zeros(D, dtype)
+
+    # prior
+    d0 = local_delta(w, cfg).astype(dtype)
+    H += w.H_prior
+    rhs -= w.H_prior @ d0 + w.b_prior
+
+    # IMU preintegration factors
+    J, r = _imu_factor_blocks(w, preints, cfg)
+    fv = factor_valid.astype(dtype)
+    Hf = jnp.einsum("kai,kaj,k->kij", J, J, fv)   # [K-1,26,26]
+    bf = jnp.einsum("kai,ka,k->ki", J, r, fv)     # [K-1,26]
+    gi = K * SD
+    for i in range(K - 1):
+        idx = jnp.concatenate([
+            jnp.arange(i * SD, i * SD + 9),
+            jnp.arange((i + 1) * SD, (i + 1) * SD + 9),
+            jnp.arange(i * SD + 9, i * SD + 15),
+            jnp.arange(gi, gi + 2),
+        ])
+        H = H.at[idx[:, None], idx[None, :]].add(Hf[i])
+        rhs = rhs.at[idx].add(-bf[i])
+
+    # bias random walk between factors
+    r_bg, r_ba, sg, sa = _bias_rw_blocks(w, preints, cfg)
+    for i in range(K - 1):
+        wg = fv[i] / (sg[i] ** 2)
+        wa = fv[i] / (sa[i] ** 2)
+        for off, wgt, rr in ((9, wg, r_bg[i] * sg[i]), (12, wa, r_ba[i] * sa[i])):
+            ii = jnp.arange(i * SD + off, i * SD + off + 3)
+            jj = jnp.arange((i + 1) * SD + off, (i + 1) * SD + off + 3)
+            H = H.at[ii[:, None], ii[None, :]].add(jnp.eye(3, dtype=dtype) * wgt)
+            H = H.at[jj[:, None], jj[None, :]].add(jnp.eye(3, dtype=dtype) * wgt)
+            H = H.at[ii[:, None], jj[None, :]].add(-jnp.eye(3, dtype=dtype) * wgt)
+            H = H.at[jj[:, None], ii[None, :]].add(-jnp.eye(3, dtype=dtype) * wgt)
+            rhs = rhs.at[ii].add(wgt * rr)
+            rhs = rhs.at[jj].add(-wgt * rr)
+
+    # live measurement blocks (ICP etc.): H dx = -b convention
+    for slot, H6, b6 in meas:
+        idx = slot * SD + jnp.arange(6)
+        H = H.at[idx[:, None], idx[None, :]].add(H6.astype(dtype))
+        rhs = rhs.at[idx].add(-b6.astype(dtype))
+
+    # inactive dims: identity rows, zero rhs
+    act = jnp.repeat(w.active, SD)
+    act = jnp.concatenate([act, jnp.ones(2, bool)])
+    H = jnp.where(act[:, None] & act[None, :], H, 0.0)
+    H = H.at[jnp.arange(D), jnp.arange(D)].add(jnp.where(act, cfg.damping, 1.0))
+    rhs = jnp.where(act, rhs, 0.0)
+    return H, rhs
+
+
+def solve(H, rhs):
+    """Solve the (small, dense, SPD-damped) system via Cholesky."""
+    L = jnp.linalg.cholesky(H)
+    y = jax.scipy.linalg.solve_triangular(L, rhs, lower=True)
+    return jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
+
+
+# ---------------------------------------------------------------------------
+# sliding: append + marginalize
+# ---------------------------------------------------------------------------
+
+def append_state(w: Window, q, p, v, bg, ba, ts) -> Window:
+    """Place a new state in the first inactive slot (sequencer guarantees one
+    exists by marginalizing first). Uses a one-hot mask so shapes stay static."""
+    slot = jnp.argmin(w.active.astype(jnp.int32))  # first False
+    onehot = jnp.arange(w.active.shape[0]) == slot
+    sel = onehot[:, None]
+    return w._replace(
+        q=jnp.where(sel, q, w.q), p=jnp.where(sel, p, w.p),
+        v=jnp.where(sel, v, w.v), bg=jnp.where(sel, bg, w.bg),
+        ba=jnp.where(sel, ba, w.ba),
+        ts=jnp.where(onehot, ts, w.ts),
+        active=w.active | onehot,
+        # linearization mirrors current for the fresh slot (zero delta)
+        lin_q=jnp.where(sel, q, w.lin_q), lin_p=jnp.where(sel, p, w.lin_p),
+        lin_v=jnp.where(sel, v, w.lin_v), lin_bg=jnp.where(sel, bg, w.lin_bg),
+        lin_ba=jnp.where(sel, ba, w.lin_ba),
+    )
+
+
+def marginalize_oldest(w: Window, preints: pre.PreintState,
+                       cfg: WindowConfig) -> Window:
+    """Schur-complement slot 0 out of (prior + IMU factor 0->1), then shift
+    every slot left by one. Replaces fixed-lag factor removal
+    (ref graph/manager.cpp:399-407 key-timestamp pruning).
+
+    ``preints`` is the full stacked [K-1] chain; only segment 0 is consumed.
+    """
+    K, D = cfg.K, cfg.D
+    dtype = w.p.dtype
+    w = rebase_prior(w, cfg)
+
+    # prior + the one IMU factor touching slot 0, at current values (d0 = 0)
+    H = w.H_prior
+    b = w.b_prior
+    Jf, rf = _imu_factor_blocks(w, preints, cfg)
+    J0, r0 = Jf[0], rf[0]
+    gi = K * SD
+    idx0 = jnp.concatenate([
+        jnp.arange(0, 9), jnp.arange(SD, SD + 9),
+        jnp.arange(9, 15), jnp.arange(gi, gi + 2),
+    ])
+    H = H.at[idx0[:, None], idx0[None, :]].add(
+        (J0.T @ J0).astype(dtype))
+    b = b.at[idx0].add((J0.T @ r0).astype(dtype))
+    # bias RW 0->1
+    r_bg, r_ba, sg, sa = _bias_rw_blocks(w, preints, cfg)
+    for off, sgm, rr in ((9, sg[0], r_bg[0] * sg[0]), (12, sa[0], r_ba[0] * sa[0])):
+        wgt = 1.0 / sgm**2
+        ii = jnp.arange(off, off + 3)
+        jj = jnp.arange(SD + off, SD + off + 3)
+        H = H.at[ii[:, None], ii[None, :]].add(jnp.eye(3, dtype=dtype) * wgt)
+        H = H.at[jj[:, None], jj[None, :]].add(jnp.eye(3, dtype=dtype) * wgt)
+        H = H.at[ii[:, None], jj[None, :]].add(-jnp.eye(3, dtype=dtype) * wgt)
+        H = H.at[jj[:, None], ii[None, :]].add(-jnp.eye(3, dtype=dtype) * wgt)
+        b = b.at[ii].add(wgt * rr)
+        b = b.at[jj].add(-wgt * rr)
+
+    # Schur complement out dims [0, 15)
+    Hkk = H[:SD, :SD] + jnp.eye(SD, dtype=dtype) * 1e-9
+    Hkr = H[:SD, SD:]
+    Hrr = H[SD:, SD:]
+    bk = b[:SD]
+    br = b[SD:]
+    sol = jnp.linalg.solve(Hkk, jnp.concatenate([Hkr, bk[:, None]], axis=1))
+    Hred = Hrr - Hkr.T @ sol[:, :-1]
+    bred = br - Hkr.T @ sol[:, -1]
+
+    # embed reduced system back: old slots 1..K-1 -> new 0..K-2, g stays
+    Hp = jnp.zeros((D, D), dtype)
+    bp = jnp.zeros(D, dtype)
+    npos = jnp.concatenate([jnp.arange(0, (K - 1) * SD),
+                            jnp.arange(K * SD, D)])
+    Hp = Hp.at[npos[:, None], npos[None, :]].set(Hred)
+    bp = bp.at[npos].set(bred)
+
+    def shift(a):
+        return jnp.concatenate([a[1:], a[-1:]], axis=0)
+
+    return w._replace(
+        q=shift(w.q), p=shift(w.p), v=shift(w.v), bg=shift(w.bg),
+        ba=shift(w.ba), ts=shift(w.ts).at[-1].set(0.0),
+        active=shift(w.active).at[-1].set(False),
+        H_prior=Hp, b_prior=bp,
+        lin_q=shift(w.lin_q), lin_p=shift(w.lin_p), lin_v=shift(w.lin_v),
+        lin_bg=shift(w.lin_bg), lin_ba=shift(w.lin_ba),
+    )
+
+
+def newest_slot(w: Window):
+    """Index of the newest active slot."""
+    return jnp.sum(w.active.astype(jnp.int32)) - 1

@@ -1,0 +1,99 @@
+"""Motion compensation (deskew) of a LiDAR scan via IMU replay.
+
+TPU-native equivalent of the reference's ``lidar::Manager::deskewPoints``
+(reference src/lidar/manager.cpp:385-512): replay the IMU across the scan,
+giving a closed-form pose at every point's timestamp (constant acc/omega
+within each IMU interval, including the gravity term, :469-492), then
+transform all points into the scan-end LiDAR frame ``Le`` (:494-509).
+
+Instead of grouping points by unique timestamp and looping (host-style),
+every point gets a fused gather + closed-form interpolation — one batched
+kernel over the padded scan. The per-point relative transform
+``T_Le_Lt`` is also returned for the photometric module's re-distortion
+(ref interpolated_map_T_Le_Lt_ cache, manager.cpp:501-507).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from mimosa_tpu.core import lie
+
+
+class DeskewResult(NamedTuple):
+    points_le: jnp.ndarray   # [N,3] points in scan-end lidar frame
+    q_le_lt: jnp.ndarray     # [N,4] per-point rotation Le <- Lt
+    t_le_lt: jnp.ndarray     # [N,3] per-point translation Le <- Lt
+    q_w_be: jnp.ndarray      # [4] body pose at scan end (world)
+    p_w_be: jnp.ndarray      # [3]
+    v_w_be: jnp.ndarray      # [3]
+
+
+def integrate_imu_poses(q0, p0, v0, accs, gyros, ts, bg, ba, gravity,
+                        t_end):
+    """Integrate body states at each IMU sample time via lax.scan.
+
+    ts: [M] absolute sample times (padded tail must be >= t_end and
+    monotonic); the state at ts[i] is returned for every i, integrating with
+    constant (acc, gyro) over [ts[i], ts[i+1]].
+    Returns (qs [M,4], ps [M,3], vs [M,3]) with state i AT time ts[i].
+    """
+    accs = accs - ba
+    gyros = gyros - bg
+    # clamp + monotonicity so padded tail samples (repeat-last convention)
+    # contribute zero integration time and the final carry is the state at
+    # exactly t_end
+    ts = jax.lax.cummax(jnp.minimum(ts, t_end))
+    dts = jnp.maximum(jnp.diff(ts, append=jnp.asarray(t_end)[None]), 0.0)
+
+    def step(carry, inp):
+        q, p, v = carry
+        acc, gyro, dt = inp
+        out = (q, p, v)  # state AT this sample time
+        a_w = lie.quat_rotate(q, acc) + gravity
+        p2 = p + v * dt + 0.5 * a_w * dt * dt
+        v2 = v + a_w * dt
+        q2 = lie.quat_mul(q, lie.exp_so3(gyro * dt))
+        return (q2, p2, v2), out
+
+    (q_e, p_e, v_e), (qs, ps, vs) = jax.lax.scan(
+        step, (q0, p0, v0), (accs, gyros, dts))
+    return qs, ps, vs, (q_e, p_e, v_e)
+
+
+def deskew(points, t_pts, valid, q0, p0, v0, accs, gyros, imu_ts, bg, ba,
+           gravity, q_b_l, t_b_l, t_end) -> DeskewResult:
+    """Deskew ``points`` [N,3] (lidar frame, timestamps ``t_pts`` [N] absolute)
+    into the scan-end lidar frame.
+
+    (q0,p0,v0): body state in world at ``imu_ts[0]`` (<= first point time).
+    accs/gyros/imu_ts: [M] padded IMU samples covering the scan (pad the tail
+    by repeating the last sample with ts >= t_end). (q_b_l, t_b_l): lidar
+    extrinsics T_B_L. t_end: scan-end timestamp.
+    """
+    qs, ps, vs, (q_e, p_e, v_e) = integrate_imu_poses(
+        q0, p0, v0, accs, gyros, imu_ts, bg, ba, gravity, t_end)
+
+    # per-point interval + closed-form within it (same clamped time base as
+    # the integration above)
+    ts_c = jax.lax.cummax(jnp.minimum(imu_ts, t_end))
+    idx = jnp.clip(jnp.searchsorted(ts_c, t_pts, side="right") - 1,
+                   0, ts_c.shape[0] - 1)
+    d = jnp.clip((t_pts - ts_c[idx]), 0.0, None).astype(points.dtype)[:, None]
+    qi = qs[idx]
+    a_w = lie.quat_rotate(qi, accs[idx] - ba) + gravity
+    p_t = ps[idx] + vs[idx] * d + 0.5 * a_w * d * d
+    q_t = lie.quat_mul(qi, lie.exp_so3((gyros[idx] - bg) * d))
+
+    # T_W_Lt = T_W_Bt * T_B_L ; T_Le_Lt = (T_W_Le)^-1 * T_W_Lt
+    q_w_lt, t_w_lt = lie.se3_compose(q_t, p_t, q_b_l, t_b_l)
+    q_w_le, t_w_le = lie.se3_compose(q_e, p_e, q_b_l, t_b_l)
+    q_le_w, t_le_w = lie.se3_inverse(q_w_le, t_w_le)
+    q_rel, t_rel = lie.se3_compose(q_le_w, t_le_w, q_w_lt, t_w_lt)
+
+    pts_le = lie.se3_transform(q_rel, t_rel, points)
+    pts_le = jnp.where(valid[:, None], pts_le, 0.0)
+    return DeskewResult(pts_le, q_rel, t_rel, q_e, p_e, v_e)

@@ -1,0 +1,154 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mimosa_tpu.core import lie
+from mimosa_tpu.graph import window as win
+from mimosa_tpu.imu import preintegration as pre
+
+G_MAG = 9.81
+CFG = win.WindowConfig(K=5, damping=1e-9)
+
+
+def stack_preints(plist):
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *plist)
+
+
+def simulate(T=2.0, imu_rate=200, state_rate=10, seed=0):
+    """GT trajectory + IMU segments between states."""
+    rng = np.random.default_rng(seed)
+    n_seg = int(T * state_rate)
+    per = imu_rate // state_rate
+    dt = 1.0 / imu_rate
+    g_w = np.array([0.0, 0.0, -G_MAG])
+    q = np.array([1.0, 0, 0, 0]); p = np.zeros(3); v = np.array([0.5, 0, 0])
+    states = [(q.copy(), p.copy(), v.copy())]
+    segs = []
+    for s in range(n_seg):
+        accs, gyrs = [], []
+        for k in range(per):
+            w_b = np.array([0.1, -0.05, 0.4]) + 0.3 * np.sin(
+                2 * np.pi * (s * per + k) / 100.0)
+            a_w = np.array([0.3, 0.2, 0.1]) * np.cos(
+                2 * np.pi * (s * per + k) / 150.0)
+            R = np.asarray(lie.quat_to_mat(jnp.asarray(q)))
+            accs.append(R.T @ (a_w - g_w))
+            gyrs.append(w_b)
+            p = p + v * dt + 0.5 * a_w * dt * dt
+            v = v + a_w * dt
+            q = np.asarray(lie.quat_mul(jnp.asarray(q),
+                                        lie.exp_so3(jnp.asarray(w_b * dt))))
+        segs.append((np.array(accs), np.array(gyrs)))
+        states.append((q.copy(), p.copy(), v.copy()))
+    return states, segs, dt
+
+
+def run_fusion(states, segs, dt, meas_noise=0.0, seed=1,
+               wrong_gravity=False):
+    rng = np.random.default_rng(seed)
+    K = CFG.K
+    w = win.create(CFG, dtype=jnp.float64)
+    q0, p0, v0 = states[0]
+    if wrong_gravity:
+        w = w._replace(g_dir=lie.s2_retract(w.g_dir, jnp.asarray([0.03, -0.02])),
+                       lin_g=lie.s2_retract(w.g_dir, jnp.asarray([0.03, -0.02])))
+    w = win.append_state(w, jnp.asarray(q0), jnp.asarray(p0), jnp.asarray(v0),
+                         jnp.zeros(3), jnp.zeros(3), 0.0)
+    w = win.init_priors(w, CFG)
+
+    preint_chain = [pre.init_preint(jnp.zeros(3), jnp.zeros(3),
+                                    jnp.float64) for _ in range(K - 1)]
+    n_active = 1
+    results = []
+    for s, (accs, gyrs) in enumerate(segs):
+        st = pre.preintegrate(jnp.asarray(accs), jnp.asarray(gyrs),
+                              jnp.full(len(accs), dt), jnp.zeros(3),
+                              jnp.zeros(3), 1e-4, 1e-5)
+        # slide if full
+        if n_active == K:
+            w = win.marginalize_oldest(w, stack_preints(preint_chain), CFG)
+            preint_chain = preint_chain[1:] + [st]
+            n_active -= 1
+        else:
+            preint_chain[n_active - 1] = st
+        # predict + append
+        last = n_active - 1
+        qn, pn, vn = pre.predict(st, w.q[last], w.p[last], w.v[last],
+                                 w.g_dir * G_MAG)
+        w = win.append_state(w, qn, pn, vn, w.bg[last], w.ba[last],
+                             (s + 1) / 10.0)
+        n_active += 1
+
+        # pose measurement of the new state (like an ICP result)
+        q_gt, p_gt, _ = states[s + 1]
+        q_m = jnp.asarray(q_gt)
+        p_m = jnp.asarray(p_gt) + rng.normal(size=3) * meas_noise
+        slot = n_active - 1
+        wgt = 1.0 / max(meas_noise, 1e-3) ** 2
+
+        fv = jnp.asarray([i < n_active - 1 for i in range(K - 1)])
+        preints = stack_preints(preint_chain)
+        for _ in range(3):
+            r0 = lie.se3_local(q_m, p_m, w.q[slot], w.p[slot])
+            H6 = jnp.eye(6) * wgt
+            b6 = wgt * r0
+            H, rhs = win.build_system(w, preints, fv, CFG,
+                                      meas=[(slot, H6, b6)])
+            dx = win.solve(H, rhs)
+            w = win.apply_update(w, dx, CFG)
+        # absorb the measurement into the prior
+        w = win.rebase_prior(w, CFG)
+        r0 = lie.se3_local(q_m, p_m, w.q[slot], w.p[slot])
+        w = win.add_measurement_block(w, slot, jnp.eye(6) * wgt, wgt * r0, CFG)
+        results.append((np.asarray(w.q[slot]), np.asarray(w.p[slot]),
+                        np.asarray(w.v[slot])))
+    return w, results
+
+
+def test_window_tracks_trajectory():
+    states, segs, dt = simulate()
+    w, results = run_fusion(states, segs, dt, meas_noise=0.01)
+    errs_p, errs_v = [], []
+    for (q_e, p_e, v_e), (q_g, p_g, v_g) in zip(results, states[1:]):
+        errs_p.append(np.linalg.norm(p_e - p_g))
+        errs_v.append(np.linalg.norm(v_e - v_g))
+    assert np.mean(errs_p) < 0.03, np.mean(errs_p)
+    # velocity is never measured directly: it must come from fusion
+    assert np.mean(errs_v[5:]) < 0.05, np.mean(errs_v)
+
+
+def test_window_estimates_gravity():
+    states, segs, dt = simulate(T=3.0)
+    w, _ = run_fusion(states, segs, dt, meas_noise=0.005, wrong_gravity=True)
+    g_est = np.asarray(w.g_dir)
+    err = np.arccos(np.clip(-g_est[2], -1, 1))
+    assert err < 0.01, f"gravity direction error {err} rad"
+
+
+def test_marginalization_keeps_information():
+    """After sliding far beyond K, estimates must not drift from GT
+    (the prior carries the marginalized information)."""
+    states, segs, dt = simulate(T=4.0)
+    w, results = run_fusion(states, segs, dt, meas_noise=0.01)
+    tail = results[-10:]
+    errs = [np.linalg.norm(p_e - p_g)
+            for (q_e, p_e, _), (_, p_g, __) in zip(tail, states[-10:])]
+    assert np.mean(errs) < 0.03
+
+
+def test_inactive_slots_untouched():
+    w = win.create(CFG, dtype=jnp.float64)
+    w = win.append_state(w, lie.quat_identity(jnp.float64), jnp.zeros(3),
+                         jnp.zeros(3), jnp.zeros(3), jnp.zeros(3), 0.0)
+    w = win.init_priors(w, CFG)
+    preints = stack_preints([pre.init_preint(jnp.zeros(3), jnp.zeros(3),
+                                             jnp.float64)
+                             for _ in range(CFG.K - 1)])
+    fv = jnp.zeros(CFG.K - 1, bool)
+    H, rhs = win.build_system(w, preints, fv, CFG)
+    dx = win.solve(H, rhs)
+    w2 = win.apply_update(w, dx, CFG)
+    # inactive slots stay exactly at identity
+    np.testing.assert_allclose(w2.q[1:], w.q[1:], atol=0)
+    np.testing.assert_allclose(w2.p[1:], w.p[1:], atol=0)
+    assert not np.any(np.isnan(np.asarray(dx)))
