@@ -1,0 +1,99 @@
+"""Headline benchmark: LiDAR scans/s per chip at fixed window size.
+
+Replays a synthetic OS-0-128-scale sequence (128x1024 points per scan,
+10 Hz equivalent, window K=8, 3+1 ICP linearizations per scan — matching
+the reference's ENWIDE configuration: lag 0.5 s, 5 additional update
+iterations, mimosa/config/enwide/params.yaml:30,52) through the full
+Sequencer pipeline and reports steady-state scans/s.
+
+Baseline: the reference sustains real-time 10 scans/s on a robot CPU
+(BASELINE.md — no published numbers beyond real-time operation);
+vs_baseline = scans_per_s / 10. Target >= 5.
+
+Prints ONE JSON line.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    # persistent compile cache: first-ever compile through the axon relay
+    # costs minutes; cached reruns are seconds
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from mimosa_tpu.graph import sequencer as seq
+    from mimosa_tpu.graph import window as win
+    from mimosa_tpu.io import synthetic as syn
+    from mimosa_tpu.lidar import geometric as geo
+    from mimosa_tpu.mapping import voxel_hash as vh
+
+    world = syn.room_world(lx=30.0, ly=16.0, lz=6.0)
+    tc = syn.TrajectoryConfig(t_total=9.0, amp=(6.0, 3.0, 0.8),
+                              center=(12.0, 8.0, 2.0))
+    lm = syn.LidarModel(n_rows=128, n_cols=1024)   # OS-0-128 scale
+    data = syn.generate(world, tc, lm, seed=0, imu_noise=0.01,
+                        range_noise=0.01)
+
+    s = seq.Sequencer(
+        seq_cfg=seq.SequencerConfig(
+            max_scan_points=lm.n_rows * lm.n_cols,
+            n_geo_points=8192, n_map_points=16384,
+            geo_leaf=0.5, map_insert_leaf=0.2,
+            keyframe_trans_thresh=0.3, keyframe_rot_thresh=0.15,
+            n_gn_iters=3,
+        ),
+        win_cfg=win.WindowConfig(K=8),
+        map_cfg=vh.VoxelMapConfig(leaf_size=0.5, capacity_log2=19,
+                                  plane_min_points=5, lru_horizon=0),
+        geo_cfg=geo.GeometricConfig(),
+        dtype=jnp.float32,
+    )
+
+    imu = data["imu"]
+    scans = data["scans"]
+    imu_i = 0
+
+    def feed(scan):
+        nonlocal imu_i
+        t_end = scan["ts_header"] + scan["t_rel"].max()
+        while imu_i < len(imu["ts"]) and imu["ts"][imu_i] <= t_end + 0.03:
+            s.add_imu(imu["ts"][imu_i], imu["acc"][imu_i], imu["gyro"][imu_i])
+            imu_i += 1
+        s.add_scan(scan["ts_header"], scan["points"], scan["t_rel"],
+                   scan["valid"])
+
+    n_warm = min(20, len(scans) // 3)
+    for scan in scans[:n_warm]:
+        feed(scan)
+    # steady state timing
+    t0 = time.time()
+    for scan in scans[n_warm:]:
+        feed(scan)
+    jax.block_until_ready(s.window.p)
+    wall = time.time() - t0
+    n_timed = len(scans) - n_warm
+    sps = n_timed / wall
+
+    est_ts = np.asarray([t for t, _, _ in s.trajectory])
+    est_p = np.asarray([p for _, p, _ in s.trajectory])
+    ate = syn.ate_rmse(est_ts, est_p, data["gt"]["ts"], data["gt"]["pos"])
+
+    print(json.dumps({
+        "metric": "lidar_scans_per_s_per_chip",
+        "value": round(sps, 2),
+        "unit": "scans/s (128x1024 pts, K=8 window, 3+1 ICP linearize)",
+        "vs_baseline": round(sps / 10.0, 2),
+        "ate_m": round(ate, 4),
+        "platform": jax.devices()[0].platform,
+    }))
+
+
+if __name__ == "__main__":
+    main()

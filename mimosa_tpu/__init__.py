@@ -14,3 +14,13 @@ blocks instead of threads.
 """
 
 __version__ = "0.1.0"
+
+import jax as _jax
+
+# TPU matmuls default to bf16 multiply / f32 accumulate; the estimator's
+# normal-equation algebra (Schur-complement marginalization, covariance
+# whitening, window Cholesky) is ill-conditioned enough that bf16 products
+# diverge (first marginalization goes NaN on TPU while CPU f32 is fine).
+# The hot kernels are gather/VPU-bound, not MXU-bound, so full f32 costs
+# little here.
+_jax.config.update("jax_default_matmul_precision", "highest")

@@ -1,0 +1,197 @@
+"""Typed config loading mirroring the reference's config_utilities layout.
+
+The reference declares per-module config structs loaded from ROS params /
+YAML with namespaces like ``imu/preintegration``, ``graph/manager/smoother``,
+``lidar/geometric/scan_to_map`` (reference src/graph/manager.cpp:771-839,
+src/imu/manager.cpp:496-547, src/lidar/geometric_config.cpp:13-90). Here the
+same YAML files (e.g. mimosa/config/enwide/params.yaml) load directly into
+this framework's frozen dataclasses, so a reference user can bring their
+tuned configs unchanged. Overlay files (the ``config_override`` launch arg,
+ref launch/enwide_rosbag.launch:17-21) deep-merge on top.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any
+
+import yaml
+
+from mimosa_tpu.graph.sequencer import SequencerConfig
+from mimosa_tpu.graph.window import WindowConfig
+from mimosa_tpu.lidar.geometric import GeometricConfig
+from mimosa_tpu.mapping.voxel_hash import VoxelMapConfig
+from mimosa_tpu.odometry.factor import OdometryConfig
+from mimosa_tpu.radar.factor import RadarConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class ConfigSet:
+    sequencer: SequencerConfig
+    window: WindowConfig
+    voxel_map: VoxelMapConfig
+    geometric: GeometricConfig
+    radar: RadarConfig
+    odometry: OdometryConfig
+    raw: dict
+    lidar_enabled: bool = True
+    radar_enabled: bool = False
+    odometry_enabled: bool = False
+
+
+def deep_merge(base: dict, overlay: dict) -> dict:
+    out = dict(base)
+    for k, v in overlay.items():
+        if isinstance(v, dict) and isinstance(out.get(k), dict):
+            out[k] = deep_merge(out[k], v)
+        else:
+            out[k] = v
+    return out
+
+
+def _get(d: dict, path: str, default=None):
+    cur: Any = d
+    for k in path.split("/"):
+        if not isinstance(cur, dict) or k not in cur:
+            return default
+        cur = cur[k]
+    return cur
+
+
+def _pose7(v):
+    """Reference T_B_S format [x y z qx qy qz qw] -> (q_wxyz, t)."""
+    x, y, z, qx, qy, qz, qw = v
+    return (qw, qx, qy, qz), (x, y, z)
+
+
+def load_reference_yaml(path, override_path=None, declare_rate_hz=10.0,
+                        **seq_overrides) -> ConfigSet:
+    """Load a reference-format params.yaml (+ optional override overlay)."""
+    with open(path) as f:
+        raw = yaml.safe_load(f)
+    if override_path:
+        with open(override_path) as f:
+            raw = deep_merge(raw, yaml.safe_load(f) or {})
+    return from_reference_dict(raw, declare_rate_hz=declare_rate_hz,
+                               **seq_overrides)
+
+
+def from_reference_dict(raw: dict, declare_rate_hz=10.0,
+                        **seq_overrides) -> ConfigSet:
+    g = lambda p, d=None: _get(raw, p, d)  # noqa: E731
+
+    # ---- window / smoother (ref graph/manager.cpp:45-93,771-839)
+    lag = float(g("graph/manager/smoother/lag", 0.5))
+    K = max(3, int(math.ceil(lag * declare_rate_hz)) + 1)
+    deg = math.pi / 180.0
+    window = WindowConfig(
+        K=K,
+        g_mag=float(g("imu/preintegration/gravity_magnitude", 9.81)),
+        sigma_bg_rw=float(g("imu/preintegration/gyro_bias_random_walk", 1e-3)),
+        sigma_ba_rw=float(g("imu/preintegration/acc_bias_random_walk", 5e-2)),
+        init_sigma_rot=max(
+            float(g("graph/manager/smoother/"
+                    "initial_rotation_pitch_roll_sigma_deg", 1e-6)) * deg,
+            1e-8),
+        init_sigma_pos=max(
+            float(g("graph/manager/smoother/initial_position_sigma", 1e-6)),
+            1e-8),
+        init_sigma_vel=float(
+            g("graph/manager/smoother/initial_velocity_sigma", 0.1)),
+        init_sigma_bg=float(
+            g("graph/manager/smoother/initial_bias_gyro_sigma", 0.1)),
+        init_sigma_ba=float(
+            g("graph/manager/smoother/initial_bias_acc_sigma", 1.0)),
+        init_sigma_grav=float(
+            g("graph/manager/smoother/initial_gravity_sigma", 0.5)),
+    )
+
+    # ---- voxel map (ref lidar/geometric scan_to_map + iVox params)
+    voxel_map = VoxelMapConfig(
+        leaf_size=float(
+            g("lidar/geometric/scan_to_map/target_ivox_map_leaf_size", 0.5)),
+        neighbor_voxel_mode=int(g("lidar/geometric/neighbor_voxel_mode", 7)),
+        lru_horizon=int(g("lidar/geometric/lru_horizon", 1000)),
+        plane_max_thickness=float(
+            g("lidar/geometric/scan_to_map/plane_validity_distance", 0.07)),
+    )
+
+    # ---- geometric ICP (ref geometric_config.cpp)
+    sigma = float(g("lidar/geometric/scan_to_map/lidar_point_noise_std_dev",
+                    0.07))
+    geometric = GeometricConfig(
+        sigma=sigma,
+        huber_delta=float(
+            g("lidar/geometric/scan_to_map/huber_threshold", 1.345)) * sigma,
+        max_p2p_dist=float(
+            g("lidar/geometric/scan_to_map/max_corres_distance", 1.0)),
+        use_4dof=bool(g("lidar/geometric/scan_to_map/reg_4_dof", False)),
+        project_degenerate=bool(
+            g("lidar/geometric/scan_to_map/project_on_degneneracy", False)),
+        loc_count_thresh=float(
+            g("lidar/geometric/scan_to_map/degen_thresh_trans", 40.0)),
+    )
+
+    # ---- radar (ref src/radar/manager.cpp config)
+    q_br, t_br = _pose7(g("radar/T_B_S", [0, 0, 0, 0, 0, 0, 1]))
+    radar = RadarConfig(
+        sigma=float(g("radar/manager/noise_sigma", 0.05)),
+        min_snr_db=float(g("radar/manager/filter_min_db", 5.0)),
+        min_range=float(g("radar/manager/range_min", 0.1)),
+        max_range=float(g("radar/manager/range_max", 60.0)),
+        max_azimuth=float(g("radar/manager/threshold_azimuth_deg", 60.0))
+        * deg,
+        max_elevation=float(g("radar/manager/threshold_elevation_deg", 60.0))
+        * deg,
+        q_b_r=q_br, t_b_r=t_br,
+    )
+
+    # ---- odometry
+    q_bs, t_bs = _pose7(g("odometry/T_B_S", [0, 0, 0, 0, 0, 0, 1]))
+    odometry = OdometryConfig(
+        sigma_rot=float(g("odometry/manager/sigma_rot", 0.02)),
+        sigma_trans=float(g("odometry/manager/sigma_trans", 0.05)),
+        q_b_s=q_bs, t_b_s=t_bs,
+    )
+
+    # ---- sequencer
+    q_bl, t_bl = _pose7(g("lidar/T_B_S", [0, 0, 0, 0, 0, 0, 1]))
+    seq_kwargs = dict(
+        geo_leaf=float(g(
+            "lidar/geometric/scan_to_map/source_voxel_grid_filter_leaf_size",
+            0.5)),
+        map_insert_leaf=float(g(
+            "lidar/geometric/scan_to_map/target_ivox_map_min_dist_in_voxel",
+            0.15)),
+        n_gn_iters=min(
+            int(g("graph/manager/smoother/additional_update_iterations", 5))
+            + 1, 6),
+        g_mag=window.g_mag,
+        pose_init_wait_secs=float(
+            g("imu/manager/pose_init_wait_secs", 0.5)),
+        gravity_aligned_init=bool(
+            g("imu/preintegration/gravity_aligned_initialization", True)),
+        max_measurement_latency=float(
+            g("graph/manager/max_measurement_latency", 0.25)),
+        keyframe_trans_thresh=float(
+            g("lidar/geometric/map_keyframe_trans_thresh", 2.0)),
+        keyframe_rot_thresh=float(
+            g("lidar/geometric/map_keyframe_rot_thresh_deg", 30.0)) * deg,
+        num_initial_keyframes=max(
+            int(g("lidar/geometric/initial_clouds_to_force_map_update", 1)),
+            1),
+        acc_var=float(g("imu/preintegration/acc_noise_density", 0.2)) ** 2,
+        gyro_var=float(g("imu/preintegration/gyro_noise_density", 0.026)) ** 2,
+        q_b_l=q_bl, t_b_l=t_bl,
+    )
+    seq_kwargs.update(seq_overrides)
+    sequencer = SequencerConfig(**seq_kwargs)
+
+    return ConfigSet(
+        sequencer=sequencer, window=window, voxel_map=voxel_map,
+        geometric=geometric, radar=radar, odometry=odometry, raw=raw,
+        lidar_enabled=bool(g("lidar/manager/enabled", True)),
+        radar_enabled=bool(g("radar/manager/enabled", False)),
+        odometry_enabled=bool(g("odometry/manager/enabled", False)),
+    )

@@ -235,6 +235,24 @@ def se3_local(qa, ta, qb, tb):
     return jnp.concatenate([dr, dt], axis=-1)
 
 
+def pose_tangent_adjoint(q_ab, t_ab):
+    """Map a right-retraction tangent on T_W_A to the equivalent tangent on
+    T_W_B where T_W_B = T_W_A @ T_AB: returns A [6,6] with
+    xi_B = A @ xi_A (for the decoupled [dR, dt] retraction of se3_retract).
+
+    A = [[R_ab^T, 0], [-R_ab^T [t_ab]x, R_ab^T]].
+    Use: a factor linearized on the sensor pose (e.g. photometric on T_W_L)
+    transfers to the body state via H_body = A^T H_sensor A, b_body = A^T b.
+    """
+    R = quat_to_mat(q_ab)
+    Rt = jnp.swapaxes(R, -1, -2)
+    A = jnp.zeros(q_ab.shape[:-1] + (6, 6), q_ab.dtype)
+    A = A.at[..., :3, :3].set(Rt)
+    A = A.at[..., 3:, 3:].set(Rt)
+    A = A.at[..., 3:, :3].set(-Rt @ hat(t_ab))
+    return A
+
+
 # ---------------------------------------------------------------------------
 # S^2 gravity-direction manifold (GTSAM Unit3 equivalent)
 # ---------------------------------------------------------------------------

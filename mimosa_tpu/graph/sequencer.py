@@ -1,0 +1,692 @@
+"""Deterministic measurement sequencer — the fusion pipeline driver.
+
+Replaces the reference's callback + mutex machinery (graph::Manager::declare/
+define, sensor managers, the rosbag replay dispatch — reference
+src/graph/manager.cpp:138-620, src/mimosa_rosbag.cpp:200-224) with a single
+host-side event loop feeding three jitted device programs:
+
+* ``_scan_step``: deskew -> downsample -> predict/append -> N Gauss-Newton
+  iterations with live ICP relinearization -> absorb the final scan factor
+  into the prior. One XLA program per scan — the entire hot path.
+* ``_marginalize``: Schur-complement slide of the window.
+* ``_map_update``: voxel insert + plane refit + LRU eviction.
+
+The declare decision tree (ref graph/manager.cpp:138-499) maps to host
+logic: initialization via stationary attitude estimation, same-key collapse
+when fewer than 2 IMU samples separate states, latency/out-of-order
+rejection with counters. Out-of-order *insertion* (factor breaking,
+ref :267-417) is handled by re-integrating preintegration segments —
+see ``declare_out_of_order`` (to be extended; offline replay with the
+scan-collection delay makes this path rare).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import logging
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mimosa_tpu.core import lie
+from mimosa_tpu.graph import window as win
+from mimosa_tpu.imu import preintegration as pre
+from mimosa_tpu.imu.buffer import ImuBuffer, estimate_attitude
+from mimosa_tpu.lidar import deskew as dk
+from mimosa_tpu.lidar import geometric as geo
+from mimosa_tpu.lidar.downsample import voxel_downsample
+from mimosa_tpu.mapping import voxel_hash as vh
+
+logger = logging.getLogger("mimosa_tpu.sequencer")
+
+
+@dataclasses.dataclass(frozen=True)
+class SequencerConfig:
+    # shapes (static)
+    max_imu_per_segment: int = 256
+    max_scan_points: int = 32768
+    n_geo_points: int = 8192          # geometric downsample size
+    n_map_points: int = 16384         # map-insertion downsample size
+    # behavior
+    n_gn_iters: int = 3
+    geo_leaf: float = 0.5             # geometric downsample leaf [m]
+    map_insert_leaf: float = 0.15     # map insertion downsample leaf [m]
+    g_mag: float = 9.81
+    pose_init_wait_secs: float = 0.5
+    gravity_aligned_init: bool = True
+    min_imu_between_states: int = 2   # ref same-key threshold
+    max_measurement_latency: float = 0.5
+    # keyframe policy (ref geometric.cpp:440-478)
+    keyframe_trans_thresh: float = 0.5
+    keyframe_rot_thresh: float = 0.2  # rad
+    num_initial_keyframes: int = 5
+    # IMU noise (continuous densities squared)
+    acc_var: float = 1e-3
+    gyro_var: float = 1e-5
+    # extrinsics T_B_L (lidar in body)
+    q_b_l: tuple = (1.0, 0.0, 0.0, 0.0)
+    t_b_l: tuple = (0.0, 0.0, 0.0)
+
+
+class Sequencer:
+    """Host orchestrator. Deterministic: same inputs in the same order give
+    the same trajectory (the mimosa_rosbag property, ref README.md:60)."""
+
+    def __init__(self, seq_cfg: SequencerConfig = SequencerConfig(),
+                 win_cfg: win.WindowConfig = win.WindowConfig(),
+                 map_cfg: vh.VoxelMapConfig = vh.VoxelMapConfig(),
+                 geo_cfg: geo.GeometricConfig = geo.GeometricConfig(),
+                 photo_cfg=None, dtype=jnp.float32):
+        self.cfg = seq_cfg
+        self.win_cfg = win_cfg
+        self.map_cfg = map_cfg
+        self.geo_cfg = geo_cfg
+        self.photo_cfg = photo_cfg
+        self.dtype = dtype
+        if photo_cfg is not None:
+            from mimosa_tpu.lidar import photometric as ph
+            self.features = ph.empty_features(photo_cfg, dtype)
+        else:
+            self.features = None
+
+        self.imu = ImuBuffer()
+        self.window = win.create(win_cfg, dtype)
+        self.vmap = vh.create(map_cfg, dtype)
+        K = win_cfg.K
+        self.preints = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs),
+            *[pre.init_preint(jnp.zeros(3, dtype), jnp.zeros(3, dtype))
+              for _ in range(K - 1)])
+        self.fv = jnp.zeros(K - 1, bool)
+        self.n_active = 0
+        self.initialized = False
+        self.scan_idx = 0
+        self.last_state_ts = None
+        self.keyframes = []          # list of (q, p) numpy
+        self.trajectory = []         # (ts, p[3], q[4]) of newest state
+        self.counters = {
+            "scans": 0, "scans_dropped_ooo": 0, "scans_same_key": 0,
+            "scans_no_imu": 0, "init_attempts": 0, "keyframes": 0,
+        }
+        self.last_icp = None
+        self.last_photo = None
+
+        # window/preints are ~100 KB — not worth donating (and create()
+        # aliases zero-buffers across fields); the map is the big buffer.
+        self._jit_scan_step = jax.jit(
+            functools.partial(_scan_step, seq_cfg=seq_cfg, win_cfg=win_cfg,
+                              map_cfg=map_cfg, geo_cfg=geo_cfg,
+                              photo_cfg=photo_cfg),
+        )
+        self._jit_marginalize = jax.jit(
+            functools.partial(_marginalize, win_cfg=win_cfg),
+        )
+        self._jit_map_update = jax.jit(
+            functools.partial(_map_update, map_cfg=map_cfg),
+            donate_argnums=(0,),
+        )
+        self._jit_declare = jax.jit(
+            functools.partial(_declare_step, seq_cfg=seq_cfg,
+                              win_cfg=win_cfg))
+        self._step_cache = {}
+
+    # ------------------------------------------------------------------ IMU
+    def add_imu(self, ts, acc, gyro):
+        self.imu.add(float(ts), acc, gyro)
+
+    # ---------------------------------------------------------------- radar
+    def add_radar(self, ts, points_r, doppler, snr_db=None,
+                  radar_cfg=None):
+        """Radar cloud: one-step Doppler factor (ref src/radar/manager.cpp:
+        26-92 pattern — the factor is declared AND defined in one step).
+
+        points_r [N,3] targets in radar frame, doppler [N] radial speeds,
+        snr_db [N]. Declares a new state when >=2 IMU samples have arrived
+        since the newest state, else attaches to the newest state
+        (SUCCESS_SAME_KEY collapse)."""
+        from mimosa_tpu.radar import factor as rad
+
+        rcfg = radar_cfg or getattr(self, "radar_cfg", None) or \
+            rad.RadarConfig()
+        self.radar_cfg = rcfg
+        self.counters.setdefault("radar_frames", 0)
+        self.counters.setdefault("radar_dropped", 0)
+        self.counters["radar_frames"] += 1
+        ts = float(ts)
+        if not self.initialized or ts <= self.last_state_ts or \
+                not self.imu.covers(self.last_state_ts, ts):
+            self.counters["radar_dropped"] += 1
+            return
+
+        n_pad = 512
+        pts = np.zeros((n_pad, 3), np.float64)
+        dop = np.zeros(n_pad)
+        snr = np.full(n_pad, -1e9)
+        k = min(len(points_r), n_pad)
+        pts[:k] = np.nan_to_num(np.asarray(points_r)[:k], nan=0.0,
+                                posinf=0.0, neginf=0.0)
+        pts_raw = np.full((n_pad, 3), np.nan)
+        pts_raw[:k] = np.asarray(points_r)[:k]
+        dop[:k] = np.asarray(doppler)[:k]
+        snr[:k] = (np.asarray(snr_db)[:k] if snr_db is not None
+                   else np.full(k, 1e9))
+
+        mean_acc, mean_gyro = self.imu.mean_measurements(
+            max(ts - 0.02, self.imu.t_first), ts)
+
+        declare = self.imu.count_between(self.last_state_ts, ts) >= \
+            self.cfg.min_imu_between_states
+        if declare and self.n_active == self.win_cfg.K:
+            self._marginalize_host()
+
+        ts_seg, accs, gyros, dts, seg_valid, _ = self.imu.segment(
+            self.last_state_ts, ts if declare else self.last_state_ts,
+            self.cfg.max_imu_per_segment)
+
+        jit_fn = self._get_radar_step(declare, rcfg)
+        (self.window, self.preints, self.fv, q_new, p_new,
+         n_inlier) = jit_fn(
+            self.window, self.preints, self.fv,
+            jnp.asarray(accs, self.dtype), jnp.asarray(gyros, self.dtype),
+            jnp.asarray(dts, self.dtype), jnp.asarray(seg_valid),
+            jnp.asarray(self.n_active, jnp.int32),
+            jnp.asarray(pts_raw, self.dtype), jnp.asarray(dop, self.dtype),
+            jnp.asarray(snr, self.dtype),
+            jnp.asarray(mean_gyro, self.dtype),
+        )
+        if declare:
+            self.n_active += 1
+            self.last_state_ts = ts
+            self._shift_aux_slots()
+        self.trajectory.append((ts, np.asarray(p_new).copy(),
+                                np.asarray(q_new).copy()))
+
+    # ------------------------------------------------------------- odometry
+    def add_odometry(self, ts, q_s, t_s, cov6=None, odom_cfg=None):
+        """External odometry pose (sensor frame): consecutive-message
+        relative BetweenFactor (ref src/odometry/manager.cpp:30-58)."""
+        from mimosa_tpu.odometry import factor as odo
+
+        ocfg = odom_cfg or getattr(self, "odom_cfg", None) or \
+            odo.OdometryConfig()
+        self.odom_cfg = ocfg
+        self.counters.setdefault("odom_msgs", 0)
+        self.counters.setdefault("odom_dropped", 0)
+        self.counters["odom_msgs"] += 1
+        ts = float(ts)
+        if cov6 is not None and odo.d_optimality(np.asarray(cov6)) > \
+                ocfg.max_d_optimality:
+            self.counters["odom_dropped"] += 1
+            return
+        if not self.initialized or ts <= self.last_state_ts or \
+                not self.imu.covers(self.last_state_ts, ts):
+            self.counters["odom_dropped"] += 1
+            return
+        prev = getattr(self, "_odom_prev", None)
+        if prev is None or prev["slot"] < 0:
+            # anchor only — no factor yet
+            declare = self.imu.count_between(self.last_state_ts, ts) >= \
+                self.cfg.min_imu_between_states
+            if declare:
+                if self.n_active == self.win_cfg.K:
+                    self._marginalize_host()
+                self._declare_plain(ts)
+            self._odom_prev = dict(slot=self.n_active - 1,
+                                   q=np.asarray(q_s), t=np.asarray(t_s))
+            return
+
+        declare = self.imu.count_between(self.last_state_ts, ts) >= \
+            self.cfg.min_imu_between_states
+        if declare and self.n_active == self.win_cfg.K:
+            self._marginalize_host()
+        prev = self._odom_prev  # slots may have shifted in marginalize
+        if prev["slot"] < 0:
+            self._odom_prev = dict(slot=self.n_active - 1,
+                                   q=np.asarray(q_s), t=np.asarray(t_s))
+            return
+
+        d = self.dtype
+        q_m, t_m = odo.relative_measurement(
+            jnp.asarray(prev["q"], d), jnp.asarray(prev["t"], d),
+            jnp.asarray(q_s, d), jnp.asarray(t_s, d), ocfg)
+
+        ts_seg, accs, gyros, dts, seg_valid, _ = self.imu.segment(
+            self.last_state_ts, ts if declare else self.last_state_ts,
+            self.cfg.max_imu_per_segment)
+        jit_fn = self._get_odom_step(declare, ocfg)
+        (self.window, self.preints, self.fv, q_new, p_new) = jit_fn(
+            self.window, self.preints, self.fv,
+            jnp.asarray(accs, self.dtype), jnp.asarray(gyros, self.dtype),
+            jnp.asarray(dts, self.dtype), jnp.asarray(seg_valid),
+            jnp.asarray(self.n_active, jnp.int32),
+            q_m, t_m, jnp.asarray(prev["slot"], jnp.int32),
+        )
+        if declare:
+            self.n_active += 1
+            self.last_state_ts = ts
+            self._shift_aux_slots()
+        self._odom_prev = dict(slot=self.n_active - 1, q=np.asarray(q_s),
+                               t=np.asarray(t_s))
+        self.trajectory.append((ts, np.asarray(p_new).copy(),
+                                np.asarray(q_new).copy()))
+
+    # --------------------------------------------------------- declare utils
+    def _marginalize_host(self):
+        self.window, self.preints, self.fv = self._jit_marginalize(
+            self.window, self.preints, self.fv)
+        self.n_active -= 1
+        prev = getattr(self, "_odom_prev", None)
+        if prev is not None:
+            prev["slot"] -= 1
+
+    def _shift_aux_slots(self):
+        pass  # slots only shift on marginalization (handled above)
+
+    def _declare_plain(self, ts):
+        """Declare a new state from IMU alone (no measurement factor)."""
+        ts_seg, accs, gyros, dts, seg_valid, _ = self.imu.segment(
+            self.last_state_ts, ts, self.cfg.max_imu_per_segment)
+        (self.window, self.preints, self.fv, _, _) = self._jit_declare(
+            self.window, self.preints, self.fv,
+            jnp.asarray(accs, self.dtype), jnp.asarray(gyros, self.dtype),
+            jnp.asarray(dts, self.dtype), jnp.asarray(seg_valid),
+            jnp.asarray(self.n_active, jnp.int32),
+        )
+        self.n_active += 1
+        self.last_state_ts = ts
+
+    def _get_radar_step(self, declare, rcfg):
+        key = ("radar", declare)
+        if key not in self._step_cache:
+            self._step_cache[key] = jax.jit(functools.partial(
+                _radar_step, declare=declare, seq_cfg=self.cfg,
+                win_cfg=self.win_cfg, radar_cfg=rcfg))
+        return self._step_cache[key]
+
+    def _get_odom_step(self, declare, ocfg):
+        key = ("odom", declare)
+        if key not in self._step_cache:
+            self._step_cache[key] = jax.jit(functools.partial(
+                _odom_step, declare=declare, seq_cfg=self.cfg,
+                win_cfg=self.win_cfg, odom_cfg=ocfg))
+        return self._step_cache[key]
+
+    # ----------------------------------------------------------------- scan
+    def add_scan(self, ts_header, points, t_rel, valid=None, intensity=None):
+        """points [N,3] in lidar frame; t_rel [N] per-point time offsets from
+        ts_header (seconds); optional per-point intensity (photometric).
+        Pads/truncates to max_scan_points."""
+        self.counters["scans"] += 1
+        points = np.asarray(points)
+        t_rel = np.asarray(t_rel)
+        if valid is None:
+            valid = np.isfinite(points).all(-1)
+        if intensity is None:
+            intensity = np.zeros(len(points))
+        t_end = float(ts_header + (t_rel[valid].max() if valid.any() else 0.0))
+
+        if not self.initialized:
+            self._try_initialize(ts_header, t_end, points, t_rel, valid)
+            return
+
+        if t_end <= self.last_state_ts:
+            self.counters["scans_dropped_ooo"] += 1
+            logger.warning("scan at %.4f older than newest state %.4f — "
+                           "dropped", t_end, self.last_state_ts)
+            return
+        if not self.imu.covers(self.last_state_ts, t_end):
+            self.counters["scans_no_imu"] += 1
+            return
+        if self.imu.count_between(self.last_state_ts, t_end) < \
+                self.cfg.min_imu_between_states:
+            self.counters["scans_same_key"] += 1
+            return
+
+        n = self.cfg.max_scan_points
+        pts, tp, vd = _pad_scan(points, ts_header + t_rel, valid, n,
+                                self.dtype)
+        inten = np.zeros(n)
+        inten[:min(len(intensity), n)] = np.nan_to_num(
+            intensity[:min(len(intensity), n)])
+
+        ts_seg, accs, gyros, dts, seg_valid, n_seg = self.imu.segment(
+            self.last_state_ts, t_end, self.cfg.max_imu_per_segment)
+
+        # rebase all timestamps to the segment start ON HOST in f64 — real
+        # datasets carry epoch-scale stamps that do not survive a cast to
+        # the device f32 time base
+        base = ts_seg[0]
+        tp = np.where(vd, tp - base, 0.0)
+        ts_seg = ts_seg - base
+        t_end_rel = t_end - base
+
+        if self.n_active == self.win_cfg.K:
+            self._marginalize_host()
+
+        (self.window, self.preints, self.fv, q_new, p_new, icp_out,
+         map_pts, map_valid, self.features, photo_out) = self._jit_scan_step(
+            self.window, self.vmap, self.preints, self.fv,
+            jnp.asarray(pts, self.dtype), jnp.asarray(tp, self.dtype),
+            jnp.asarray(vd),
+            jnp.asarray(accs, self.dtype), jnp.asarray(gyros, self.dtype),
+            jnp.asarray(ts_seg, self.dtype),
+            jnp.asarray(dts, self.dtype), jnp.asarray(seg_valid),
+            jnp.asarray(self.n_active, jnp.int32),
+            jnp.asarray(t_end_rel, self.dtype),
+            jnp.asarray(inten, self.dtype), self.features,
+        )
+        self.last_photo = photo_out
+        self.n_active += 1
+        self.last_state_ts = t_end
+        self.last_icp = icp_out
+        self.scan_idx += 1
+
+        q_np, p_np = np.asarray(q_new), np.asarray(p_new)
+        self.trajectory.append((t_end, p_np.copy(), q_np.copy()))
+        if self._keyframe_test(q_np, p_np):
+            self.keyframes.append((q_np, p_np))
+            self.counters["keyframes"] += 1
+            self.vmap = self._jit_map_update(
+                self.vmap, map_pts, map_valid,
+                jnp.asarray(self.scan_idx, jnp.int32))
+
+    # --------------------------------------------------------------- helpers
+    def _keyframe_test(self, q, p):
+        if len(self.keyframes) < self.cfg.num_initial_keyframes:
+            return True
+        dmin, amin = np.inf, np.inf
+        for qk, pk in self.keyframes:
+            dmin = min(dmin, float(np.linalg.norm(p - pk)))
+            dq = np.asarray(lie.quat_mul(lie.quat_conj(jnp.asarray(qk)),
+                                         jnp.asarray(q)))
+            amin = min(amin, float(np.linalg.norm(
+                np.asarray(lie.log_so3(jnp.asarray(dq))))))
+        return dmin > self.cfg.keyframe_trans_thresh or \
+            amin > self.cfg.keyframe_rot_thresh
+
+    def _try_initialize(self, ts_header, t_end, points, t_abs_rel, valid):
+        self.counters["init_attempts"] += 1
+        att = estimate_attitude(self.imu, t_end, self.cfg.pose_init_wait_secs,
+                                self.cfg.g_mag,
+                                self.cfg.gravity_aligned_init)
+        if att is None:
+            return
+        d = self.dtype
+        q0 = jnp.asarray(att["q_w_b"], d)
+        g0 = jnp.asarray(att["g_dir"], d)
+        self.window = self.window._replace(g_dir=g0, lin_g=g0)
+        self.window = win.append_state(
+            self.window, q0, jnp.zeros(3, d), jnp.zeros(3, d),
+            jnp.asarray(att["bg"], d), jnp.asarray(att["ba"], d), t_end)
+        self.window = win.init_priors(self.window, self.win_cfg)
+        self.n_active = 1
+        self.initialized = True
+        self.last_state_ts = t_end
+        self.trajectory.append((t_end, np.zeros(3), np.asarray(q0)))
+
+        # seed the map with the (assumed stationary) first scan
+        n = self.cfg.max_scan_points
+        pts, tp, vd = _pad_scan(points, ts_header + t_abs_rel, valid, n,
+                                self.dtype)
+        q_bl = jnp.asarray(self.cfg.q_b_l, d)
+        t_bl = jnp.asarray(self.cfg.t_b_l, d)
+        q_wl, t_wl = lie.se3_compose(q0, jnp.zeros(3, d), q_bl, t_bl)
+        pts_w = lie.se3_transform(q_wl, t_wl, jnp.asarray(pts, d))
+        ds, ds_valid, _ = voxel_downsample(
+            pts_w, jnp.asarray(vd), self.cfg.map_insert_leaf,
+            self.cfg.n_map_points)
+        self.vmap = self._jit_map_update(self.vmap, ds, ds_valid,
+                                         jnp.asarray(0, jnp.int32))
+        self.keyframes.append((np.asarray(q0), np.zeros(3)))
+        logger.info("initialized at ts=%.4f q=%s", t_end, att["q_w_b"])
+
+    def write_tum(self, path):
+        """TUM trajectory log (ref graph/manager.cpp:714-720 format)."""
+        with open(path, "w") as f:
+            for ts, p, q in self.trajectory:
+                f.write(f"{ts:.9f} {p[0]} {p[1]} {p[2]} "
+                        f"{q[1]} {q[2]} {q[3]} {q[0]}\n")
+
+
+def _pad_scan(points, t_abs, valid, n, dtype):
+    k = min(len(points), n)
+    pts = np.zeros((n, 3))
+    tp = np.zeros(n)
+    vd = np.zeros(n, bool)
+    pts[:k] = points[:k]
+    tp[:k] = t_abs[:k]
+    vd[:k] = valid[:k]
+    pts[~np.isfinite(pts).all(-1)] = 0.0
+    return pts, tp, vd
+
+
+# ---------------------------------------------------------------------------
+# jitted device programs
+# ---------------------------------------------------------------------------
+
+def _set_segment(preints, i, seg):
+    return jax.tree_util.tree_map(lambda a, s: a.at[i].set(s), preints, seg)
+
+
+def _scan_step(window, vmap, preints, fv, pts, t_pts, pt_valid,
+               accs, gyros, imu_ts, dts, seg_valid, n_active, t_end,
+               intensity=None, features=None,
+               *, seq_cfg, win_cfg, map_cfg, geo_cfg, photo_cfg=None,
+               linearize_fn=None):
+    """The whole per-scan pipeline as one XLA program. ``n_active`` is the
+    count BEFORE appending (the new state lands in slot ``n_active``).
+
+    ``linearize_fn(vmap, pts, valid, q, t, g_dir) -> ICPResult`` defaults to
+    the single-device geometric kernel; the parallel module swaps in the
+    mesh-sharded variant (points over 'dp', map rows over 'mp').
+
+    With ``photo_cfg`` set, the intensity-patch factor joins the GN system
+    (projected onto geometric-degenerate directions when configured,
+    ref photometric_factor.hpp:101-116) and the feature store is tracked +
+    topped-up at the converged pose."""
+    if linearize_fn is None:
+        def linearize_fn(vmap_, pts_, valid_, q_, t_, g_dir_):
+            return geo.linearize(vmap_, pts_, valid_, q_, t_, map_cfg,
+                                 geo_cfg, g_dir=g_dir_)
+    d = window.p.dtype
+    last = n_active - 1
+    q0, p0, v0 = window.q[last], window.p[last], window.v[last]
+    bg, ba = window.bg[last], window.ba[last]
+    g_vec = window.g_dir * seq_cfg.g_mag
+    q_bl = jnp.asarray(seq_cfg.q_b_l, d)
+    t_bl = jnp.asarray(seq_cfg.t_b_l, d)
+
+    # 1) deskew into scan-end lidar frame (f64 time base, f32 math)
+    dsk = dk.deskew(pts, (t_pts - imu_ts[0]).astype(d), pt_valid,
+                    q0, p0, v0, accs, gyros,
+                    (imu_ts - imu_ts[0]).astype(d), bg, ba, g_vec,
+                    q_bl, t_bl, (t_end - imu_ts[0]).astype(d))
+
+    # 2) preintegrate the IMU factor segment last->new
+    seg = pre.preintegrate(accs, gyros, dts, bg, ba,
+                           seq_cfg.acc_var, seq_cfg.gyro_var,
+                           valid=seg_valid)
+    preints = _set_segment(preints, last, seg)
+    fv = fv.at[last].set(True)
+
+    # 3) append the predicted state
+    window = win.append_state(window, dsk.q_w_be, dsk.p_w_be, dsk.v_w_be,
+                              bg, ba, t_end)
+    slot = n_active
+
+    # 4) body-frame points + geometric downsample
+    pts_b = lie.se3_transform(q_bl, t_bl, dsk.points_le)
+    pts_geo, geo_valid, _ = voxel_downsample(
+        pts_b, pt_valid, seq_cfg.geo_leaf, seq_cfg.n_geo_points)
+
+    # 4b) photometric frame build (once per scan, from deskewed points)
+    frame = None
+    A_bl = None
+    if photo_cfg is not None:
+        from mimosa_tpu.lidar import photometric as ph
+        frame = ph.make_frame(dsk.points_le, intensity, pt_valid, photo_cfg)
+        A_bl = lie.pose_tangent_adjoint(q_bl, t_bl)  # body->lidar tangent map
+
+    def photo_block(icp_res):
+        """Photometric H/b on the BODY pose tangent at the current pose."""
+        from mimosa_tpu.lidar import photometric as ph
+        q_wl, t_wl = lie.se3_compose(window.q[slot], window.p[slot],
+                                     q_bl, t_bl)
+        proj = None
+        if photo_cfg.project_on_degeneracy and icp_res is not None:
+            proj = geo.degenerate_selector(icp_res)
+        pr = ph.linearize(frame, features, q_wl, t_wl, photo_cfg)
+        Hb = A_bl.T @ pr.H @ A_bl
+        bb = A_bl.T @ pr.b
+        if proj is not None:
+            Hb = proj @ Hb @ proj.T
+            bb = proj @ bb
+        return Hb, bb, pr
+
+    # 5) GN iterations with live ICP (+photometric) relinearization
+    icp = None
+    pr = None
+    for _ in range(seq_cfg.n_gn_iters):
+        icp = linearize_fn(vmap, pts_geo, geo_valid, window.q[slot],
+                           window.p[slot], window.g_dir)
+        meas = [(win.pose_idx(slot), icp.H, icp.b)]
+        if photo_cfg is not None:
+            Hb, bb, pr = photo_block(icp)
+            meas.append((win.pose_idx(slot), Hb, bb))
+        H, rhs = win.build_system(window, preints, fv, win_cfg, meas=meas)
+        dx = win.solve(H, rhs)
+        window = win.apply_update(window, dx, win_cfg)
+
+    # 6) absorb the final scan factors into the prior at converged values
+    icp = linearize_fn(vmap, pts_geo, geo_valid, window.q[slot],
+                       window.p[slot], window.g_dir)
+    window = win.rebase_prior(window, win_cfg)
+    window = win.add_measurement_block(window, win.pose_idx(slot), icp.H,
+                                       icp.b, win_cfg)
+    photo_out = None
+    if photo_cfg is not None:
+        from mimosa_tpu.lidar import photometric as ph
+        Hb, bb, pr = photo_block(icp)
+        window = win.add_measurement_block(window, win.pose_idx(slot), Hb,
+                                           bb, win_cfg)
+        # feature lifecycle + top-up at the converged pose
+        features = ph.update_lifecycle(features, pr.tracked, photo_cfg)
+        q_wl, t_wl = lie.se3_compose(window.q[slot], window.p[slot],
+                                     q_bl, t_bl)
+        features = ph.detect_features(frame, features, q_wl, t_wl, photo_cfg)
+        photo_out = (pr.num_tracked, pr.status_counts)
+
+    # 7) map-insertion cloud in world frame at the converged pose
+    q_wl, t_wl = lie.se3_compose(window.q[slot], window.p[slot], q_bl, t_bl)
+    pts_w = lie.se3_transform(q_wl, t_wl, dsk.points_le)
+    map_pts, map_valid, _ = voxel_downsample(
+        pts_w, pt_valid, seq_cfg.map_insert_leaf, seq_cfg.n_map_points)
+
+    icp_out = (icp.num_inlier, icp.status_counts, icp.mean_abs_res,
+               icp.degenerate_rot, icp.degenerate_trans)
+    return (window, preints, fv, window.q[slot], window.p[slot], icp_out,
+            map_pts, map_valid, features, photo_out)
+
+
+def _marginalize(window, preints, fv, *, win_cfg):
+    window = win.marginalize_oldest(window, preints, win_cfg)
+    preints = jax.tree_util.tree_map(
+        lambda a: jnp.concatenate([a[1:], a[-1:]], axis=0), preints)
+    fv = jnp.concatenate([fv[1:], jnp.zeros(1, bool)])
+    return window, preints, fv
+
+
+def _map_update(vmap, pts_w, valid, scan_idx, *, map_cfg):
+    vmap = vh.insert(vmap, pts_w, valid, scan_idx, map_cfg)
+    vmap = vh.evict_stale(vmap, scan_idx, map_cfg)
+    return vh.update_planes(vmap, map_cfg)
+
+
+def _declare_core(window, preints, fv, accs, gyros, dts, seg_valid,
+                  n_active, seq_cfg):
+    """Preintegrate the segment, predict, append — the declare() core.
+    Returns (window, preints, fv, slot_of_new_state)."""
+    last = n_active - 1
+    bg, ba = window.bg[last], window.ba[last]
+    seg = pre.preintegrate(accs, gyros, dts, bg, ba, seq_cfg.acc_var,
+                           seq_cfg.gyro_var, valid=seg_valid)
+    preints = _set_segment(preints, last, seg)
+    fv = fv.at[last].set(True)
+    qn, pn, vn = pre.predict(seg, window.q[last], window.p[last],
+                             window.v[last], window.g_dir * seq_cfg.g_mag)
+    window = win.append_state(window, qn, pn, vn, bg, ba, 0.0)
+    return window, preints, fv, n_active
+
+
+def _declare_step(window, preints, fv, accs, gyros, dts, seg_valid, n_active,
+                  *, seq_cfg, win_cfg):
+    window, preints, fv, slot = _declare_core(
+        window, preints, fv, accs, gyros, dts, seg_valid, n_active, seq_cfg)
+    return window, preints, fv, window.q[slot], window.p[slot]
+
+
+def _radar_step(window, preints, fv, accs, gyros, dts, seg_valid, n_active,
+                pts_r, doppler, snr_db, omega, *, declare, seq_cfg, win_cfg,
+                radar_cfg):
+    """One-step Doppler factor: optional declare + GN with the radar block
+    (ref radar one-step-factor pattern, src/radar/manager.cpp:83-92)."""
+    from mimosa_tpu.radar import factor as rad
+
+    if declare:
+        window, preints, fv, slot = _declare_core(
+            window, preints, fv, accs, gyros, dts, seg_valid, n_active,
+            seq_cfg)
+    else:
+        slot = n_active - 1
+
+    dirs, _, valid = rad.filter_targets(pts_r, snr_db, radar_cfg)
+    res = None
+    for _ in range(2):
+        res = rad.linearize(window.q[slot], window.v[slot], window.bg[slot],
+                            omega, dirs, doppler, valid, radar_cfg)
+        H, rhs = win.build_system(window, preints, fv, win_cfg,
+                                  meas=[(win.rot_vel_bg_idx(slot), res.H,
+                                         res.b)])
+        dx = win.solve(H, rhs)
+        window = win.apply_update(window, dx, win_cfg)
+    res = rad.linearize(window.q[slot], window.v[slot], window.bg[slot],
+                        omega, dirs, doppler, valid, radar_cfg)
+    window = win.rebase_prior(window, win_cfg)
+    window = win.add_measurement_block(window, win.rot_vel_bg_idx(slot),
+                                       res.H, res.b, win_cfg)
+    return (window, preints, fv, window.q[slot], window.p[slot],
+            res.num_inlier)
+
+
+def _odom_step(window, preints, fv, accs, gyros, dts, seg_valid, n_active,
+               q_meas, t_meas, prev_slot, *, declare, seq_cfg, win_cfg,
+               odom_cfg):
+    """Relative-pose between factor from the previous odometry state
+    (ref src/odometry/manager.cpp:43-58 one-step factors)."""
+    from mimosa_tpu.odometry import factor as odo
+
+    if declare:
+        window, preints, fv, slot = _declare_core(
+            window, preints, fv, accs, gyros, dts, seg_valid, n_active,
+            seq_cfg)
+    else:
+        slot = n_active - 1
+
+    idx = win.between_pose_idx(prev_slot, slot)
+    res = None
+    for _ in range(2):
+        res = odo.linearize(window.q[prev_slot], window.p[prev_slot],
+                            window.q[slot], window.p[slot], q_meas, t_meas,
+                            odom_cfg)
+        H, rhs = win.build_system(window, preints, fv, win_cfg,
+                                  meas=[(idx, res.H, res.b)])
+        dx = win.solve(H, rhs)
+        window = win.apply_update(window, dx, win_cfg)
+    res = odo.linearize(window.q[prev_slot], window.p[prev_slot],
+                        window.q[slot], window.p[slot], q_meas, t_meas,
+                        odom_cfg)
+    window = win.rebase_prior(window, win_cfg)
+    window = win.add_measurement_block(window, idx, res.H, res.b, win_cfg)
+    return window, preints, fv, window.q[slot], window.p[slot]

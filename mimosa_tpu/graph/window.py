@@ -85,7 +85,7 @@ def create(cfg: WindowConfig, dtype=jnp.float32) -> Window:
     g = jnp.asarray([0.0, 0.0, -1.0], dtype)
     return Window(
         q=q0, p=z3, v=z3, bg=z3, ba=z3, g_dir=g,
-        ts=jnp.zeros(K, jnp.float64), active=jnp.zeros(K, bool),
+        ts=jnp.zeros(K, dtype), active=jnp.zeros(K, bool),
         H_prior=jnp.zeros((D, D), dtype), b_prior=jnp.zeros(D, dtype),
         lin_q=q0, lin_p=z3, lin_v=z3, lin_bg=z3, lin_ba=z3, lin_g=g,
     )
@@ -148,13 +148,28 @@ def init_priors(w: Window, cfg: WindowConfig) -> Window:
     return w._replace(H_prior=H)
 
 
-def add_measurement_block(w: Window, slot, H6, b6, cfg: WindowConfig) -> Window:
-    """Absorb a finalized pose-measurement quadratic (e.g. the scan's ICP
-    factor) into the prior at the current linearization. Call after
-    ``rebase_prior``. ``slot`` may be a traced int scalar."""
-    idx = slot * SD + jnp.arange(6)
-    H = w.H_prior.at[idx[:, None], idx[None, :]].add(H6.astype(w.H_prior.dtype))
-    b = w.b_prior.at[idx].add(b6.astype(w.b_prior.dtype))
+def pose_idx(slot):
+    """Tangent indices of a state's pose block [dR(3), dp(3)]."""
+    return slot * SD + jnp.arange(6)
+
+
+def rot_vel_bg_idx(slot):
+    """Tangent indices [dR(3), dv(3), dbg(3)] — the radar Doppler keys."""
+    return slot * SD + jnp.concatenate(
+        [jnp.arange(3), 6 + jnp.arange(3), 9 + jnp.arange(3)])
+
+
+def between_pose_idx(slot_i, slot_j):
+    """Tangent indices of two states' pose blocks (odometry between factor)."""
+    return jnp.concatenate([pose_idx(slot_i), pose_idx(slot_j)])
+
+
+def add_measurement_block(w: Window, idx, Hm, bm, cfg: WindowConfig) -> Window:
+    """Absorb a finalized measurement quadratic (e.g. the scan's ICP factor)
+    into the prior at the current linearization. Call after ``rebase_prior``.
+    ``idx`` [m] are tangent indices (may be traced), Hm [m,m], bm [m]."""
+    H = w.H_prior.at[idx[:, None], idx[None, :]].add(Hm.astype(w.H_prior.dtype))
+    b = w.b_prior.at[idx].add(bm.astype(w.b_prior.dtype))
     return w._replace(H_prior=H, b_prior=b)
 
 
@@ -211,8 +226,9 @@ def build_system(w: Window, preints: pre.PreintState, factor_valid,
     """Assemble normal equations H dx = rhs over the full window tangent.
 
     factor_valid: [K-1] bool, IMU factor between slot i and i+1 active.
-    meas: iterable of (slot (may be traced), H6, b6) live measurement blocks
-    (e.g. the current scan's freshly linearized ICP factor).
+    meas: iterable of (idx [m], H [m,m], b [m]) live measurement blocks —
+    tangent index vectors built with pose_idx / rot_vel_bg_idx /
+    between_pose_idx (e.g. the current scan's freshly linearized ICP factor).
     """
     K, D = cfg.K, cfg.D
     dtype = w.p.dtype
@@ -256,10 +272,9 @@ def build_system(w: Window, preints: pre.PreintState, factor_valid,
             rhs = rhs.at[jj].add(-wgt * rr)
 
     # live measurement blocks (ICP etc.): H dx = -b convention
-    for slot, H6, b6 in meas:
-        idx = slot * SD + jnp.arange(6)
-        H = H.at[idx[:, None], idx[None, :]].add(H6.astype(dtype))
-        rhs = rhs.at[idx].add(-b6.astype(dtype))
+    for idx, Hm, bm in meas:
+        H = H.at[idx[:, None], idx[None, :]].add(Hm.astype(dtype))
+        rhs = rhs.at[idx].add(-bm.astype(dtype))
 
     # inactive dims: identity rows, zero rhs
     act = jnp.repeat(w.active, SD)

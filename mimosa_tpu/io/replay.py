@@ -1,0 +1,158 @@
+"""Offline deterministic replay of a real dataset (ROS1 bag) through the
+full estimator — the mimosa_rosbag equivalent.
+
+Usage:
+    python -m mimosa_tpu.io.replay --bag seq.bag --config params.yaml \
+        --imu-topic /os_cloud_node/imu --lidar-topic /os_cloud_node/points \
+        [--gt gt.csv] [--out traj.tum] [--config-override override.yaml]
+
+Replays messages in receipt-time order with the scan-collection delay
+(scans processed only once IMU has advanced past their end — reference
+src/mimosa_rosbag.cpp:111-115,200-224), writes the TUM trajectory, and if
+ground truth is given prints ATE/RTE (the dataset_evaluation.py metrics).
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+
+def replay_bag(bag_path, config_path, imu_topic, lidar_topic,
+               radar_topic=None, odom_topic=None, override_path=None,
+               start_offset=0.0, duration=None, max_scan_points=None,
+               verbose=True, platform=None):
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    if platform:
+        jax.config.update("jax_platforms", platform)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mimosa_tpu.config import loader
+    from mimosa_tpu.graph import sequencer as seq
+    from mimosa_tpu.io import pointcloud2 as pc2
+    from mimosa_tpu.io.rosbag import Bag
+
+    cs = loader.load_reference_yaml(config_path, override_path,
+                                    **(dict(max_scan_points=max_scan_points)
+                                       if max_scan_points else {}))
+    s = seq.Sequencer(seq_cfg=cs.sequencer, win_cfg=cs.window,
+                      map_cfg=cs.voxel_map, geo_cfg=cs.geometric,
+                      dtype=jnp.float32)
+    s.radar_cfg = cs.radar
+    s.odom_cfg = cs.odometry
+
+    topics = {imu_topic, lidar_topic}
+    if radar_topic:
+        topics.add(radar_topic)
+    if odom_topic:
+        topics.add(odom_topic)
+
+    raw_cfg = cs.raw
+    lidar_mgr = raw_cfg.get("lidar", {}).get("manager", {})
+    filters = dict(
+        range_min=float(lidar_mgr.get("range_min", 0.2)),
+        range_max=float(lidar_mgr.get("range_max", 100.0)),
+        intensity_min=float(lidar_mgr.get("intensity_min", 0.0)),
+        intensity_max=float(lidar_mgr.get("intensity_max", 1e10)),
+        point_skip=int(raw_cfg.get("lidar", {}).get("geometric", {})
+                       .get("point_skip_divisor", 1)),
+        ring_skip=int(raw_cfg.get("lidar", {}).get("geometric", {})
+                      .get("ring_skip_divisor", 1)),
+    )
+
+    bag = Bag(bag_path)
+    msgs = bag.read_sorted(topics)
+    if not msgs:
+        raise ValueError(f"no messages on {topics} in {bag_path}")
+    t0 = msgs[0][2] + start_offset
+    t_stop = t0 + duration if duration else float("inf")
+
+    # scan-collection delay queue: hold scans until IMU passes scan end
+    pending = []
+    n_proc = 0
+    t_start = time.time()
+    for topic, mtype, t, m in msgs:
+        if t < t0 or t > t_stop:
+            continue
+        if topic == imu_topic:
+            s.add_imu(m["stamp"], m["acc"], m["gyro"])
+            while pending and s.imu.t_last is not None and \
+                    pending[0][0] <= s.imu.t_last:
+                _, sc = pending.pop(0)
+                s.add_scan(sc["ts_header"], sc["points"], sc["t_rel"],
+                           sc["valid"])
+                n_proc += 1
+        elif topic == lidar_topic:
+            d = pc2.decode(m["data"], m["fields"], m["point_step"],
+                           header_stamp=m["stamp"])
+            ok = pc2.point_filters(d["points"], d["intensity"], d["ring"],
+                                   **filters)
+            sc = dict(ts_header=m["stamp"], points=d["points"],
+                      t_rel=d["t_rel"], valid=ok)
+            t_end = m["stamp"] + (d["t_rel"][ok].max() if ok.any() else 0.0)
+            pending.append((t_end, sc))
+        elif radar_topic and topic == radar_topic:
+            d = pc2.decode(m["data"], m["fields"], m["point_step"],
+                           header_stamp=m["stamp"])
+            # doppler rides the intensity slot for formats without one;
+            # radar-specific fields (doppler/snr) are format-dependent
+            v = pc2.structured_view(m["data"], m["fields"], m["point_step"])
+            names = v.dtype.names
+            dop = np.asarray(v["doppler"]) if "doppler" in names else \
+                np.asarray(v["v_doppler_mps"]) if "v_doppler_mps" in names \
+                else d["intensity"]
+            snr = np.asarray(v["snr"]) if "snr" in names else \
+                np.asarray(v["snr_db"]) if "snr_db" in names else None
+            ts_r = m["stamp"]
+            if not bool(raw_cfg.get("radar", {}).get("manager", {})
+                        .get("is_exposure_compensated", True)):
+                ts_r += float(raw_cfg["radar"]["manager"]
+                              .get("frame_ms", 0.0)) * 1e-3 / 2.0
+            s.add_radar(ts_r, d["points"], dop, snr)
+        elif odom_topic and topic == odom_topic:
+            s.add_odometry(m["stamp"], m["q"], m["p"], m["pose_cov"])
+    wall = time.time() - t_start
+    if verbose:
+        print(f"replayed {n_proc} scans in {wall:.1f}s "
+              f"({n_proc / max(wall, 1e-9):.2f} scans/s) "
+              f"counters={s.counters}")
+    return s
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--bag", required=True)
+    ap.add_argument("--config", required=True)
+    ap.add_argument("--imu-topic", required=True)
+    ap.add_argument("--lidar-topic", required=True)
+    ap.add_argument("--radar-topic")
+    ap.add_argument("--odom-topic")
+    ap.add_argument("--config-override")
+    ap.add_argument("--gt", help="ground truth TUM/csv for ATE")
+    ap.add_argument("--out", default="/tmp/mimosa_tpu_traj.tum")
+    ap.add_argument("-s", "--start-offset", type=float, default=0.0)
+    ap.add_argument("--duration", type=float)
+    ap.add_argument("--platform")
+    args = ap.parse_args()
+
+    s = replay_bag(args.bag, args.config, args.imu_topic, args.lidar_topic,
+                   args.radar_topic, args.odom_topic, args.config_override,
+                   args.start_offset, args.duration, platform=args.platform)
+    s.write_tum(args.out)
+    print(f"trajectory -> {args.out} ({len(s.trajectory)} poses)")
+    if args.gt:
+        import numpy as np
+
+        from mimosa_tpu.utils import evaluation as ev
+        gt_ts, gt_p, _ = ev.load_tum(args.gt)
+        est_ts = np.asarray([t for t, _, _ in s.trajectory])
+        est_p = np.asarray([p for _, p, _ in s.trajectory])
+        print(f"ATE: {ev.ate(est_ts, est_p, gt_ts, gt_p):.4f} m  "
+              f"RTE: {ev.rte(est_ts, est_p, gt_ts, gt_p):.2f} %")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,104 @@
+"""Synthetic end-to-end replay: the CI-runnable integration test.
+
+``python -m mimosa_tpu.io.synthetic_replay [--platform cpu]`` generates a
+synthetic LiDAR+IMU sequence, replays it through the full Sequencer
+pipeline, and prints one line with the ATE — the stand-in for the
+reference's ``mimosa_rosbag`` + evo evaluation loop
+(ref src/mimosa_rosbag.cpp, scripts/dataset_evaluation.py).
+"""
+
+from __future__ import annotations
+
+import time
+
+
+def run(platform=None, dtype="float32", t_total=12.0, verbose=True,
+        seed=0, imu_noise=0.0, range_noise=0.0, n_gn_iters=3,
+        use_photometric=False):
+    import jax
+
+    if platform:
+        jax.config.update("jax_platforms", platform)
+    import jax.numpy as jnp
+
+    from mimosa_tpu.graph import sequencer as seq
+    from mimosa_tpu.graph import window as win
+    from mimosa_tpu.io import synthetic as syn
+    from mimosa_tpu.lidar import geometric as geo
+    from mimosa_tpu.mapping import voxel_hash as vh
+
+    world = syn.room_world()
+    tc = syn.TrajectoryConfig(t_total=t_total)
+    lm = syn.LidarModel()
+    data = syn.generate(world, tc, lm, seed=seed, imu_noise=imu_noise,
+                        range_noise=range_noise)
+
+    photo_cfg = None
+    if use_photometric:
+        from mimosa_tpu.lidar import photometric as ph
+        photo_cfg = ph.PhotometricConfig(
+            rows=lm.n_rows, cols=lm.n_cols, fov_up=lm.fov_up,
+            fov_down=lm.fov_down, range_min=0.5, range_max=40.0,
+            gradient_threshold=2.0, nma_radius=5, num_features=48,
+            margin=3, intensity_scale=1.0, filter_brightness=False,
+            remove_lines=False, project_on_degeneracy=False)
+
+    n_scan_pts = lm.n_rows * lm.n_cols
+    s = seq.Sequencer(
+        photo_cfg=photo_cfg,
+        seq_cfg=seq.SequencerConfig(
+            max_scan_points=max(4096, n_scan_pts),
+            n_geo_points=4096, n_map_points=8192,
+            geo_leaf=0.4, map_insert_leaf=0.15,
+            keyframe_trans_thresh=0.3, keyframe_rot_thresh=0.15,
+            n_gn_iters=n_gn_iters,
+        ),
+        win_cfg=win.WindowConfig(K=6),
+        map_cfg=vh.VoxelMapConfig(leaf_size=0.4, capacity_log2=17,
+                                  plane_min_points=5, lru_horizon=0),
+        geo_cfg=geo.GeometricConfig(sigma=0.05, loc_count_thresh=50.0),
+        dtype=jnp.float32,
+    )
+
+    # event-ordered replay: all IMU up to each scan end first (the
+    # lidar_collection_delay queue of mimosa_rosbag.cpp:111-115)
+    imu = data["imu"]
+    imu_i = 0
+    t0 = time.time()
+    n_scans = 0
+    for scan in data["scans"]:
+        # feed IMU until it has advanced past scan end before processing the
+        # scan (the lidar_collection_delay queue, mimosa_rosbag.cpp:111-115)
+        t_end = scan["ts_header"] + scan["t_rel"].max()
+        while imu_i < len(imu["ts"]) and imu["ts"][imu_i] <= t_end + 0.03:
+            s.add_imu(imu["ts"][imu_i], imu["acc"][imu_i],
+                      imu["gyro"][imu_i])
+            imu_i += 1
+        s.add_scan(scan["ts_header"], scan["points"], scan["t_rel"],
+                   scan["valid"], intensity=scan.get("intensity"))
+        n_scans += 1
+    wall = time.time() - t0
+
+    est_ts = [t for t, _, _ in s.trajectory]
+    est_p = [p for _, p, _ in s.trajectory]
+    import numpy as np
+    ate = syn.ate_rmse(np.asarray(est_ts), np.asarray(est_p),
+                       data["gt"]["ts"], data["gt"]["pos"])
+    if verbose:
+        print(f"replayed {n_scans} scans in {wall:.1f}s "
+              f"({n_scans / max(wall, 1e-9):.1f} scans/s incl. compile)")
+        print(f"counters: {s.counters}")
+        print(f"ATE RMSE: {ate:.4f} m (gate: < 0.10 m)")
+    return dict(ate=ate, wall=wall, n_scans=n_scans, counters=s.counters,
+                sequencer=s, data=data)
+
+
+if __name__ == "__main__":
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--platform", default=None)
+    ap.add_argument("--t-total", type=float, default=12.0)
+    args = ap.parse_args()
+    out = run(platform=args.platform, t_total=args.t_total)
+    raise SystemExit(0 if out["ate"] < 0.10 else 1)

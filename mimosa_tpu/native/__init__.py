@@ -1,0 +1,125 @@
+"""Native (C++) host-runtime components, loaded via ctypes.
+
+Compiled lazily on first use with g++ (cached in the package dir); every
+entry point has a pure-numpy fallback so the framework works without a
+toolchain. Currently: the scan ingestion pass (decode + filter,
+``decode.cc``) — the counterpart of the reference's C++ prepareInput.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_HERE = os.path.dirname(__file__)
+_LOCK = threading.Lock()
+_LIB = None
+_LIB_FAILED = False
+
+_DTYPE_CODE = {None: 0, np.dtype(np.int8): 1, np.dtype(np.uint8): 2,
+               np.dtype(np.int16): 3, np.dtype(np.uint16): 4,
+               np.dtype(np.int32): 5, np.dtype(np.uint32): 6,
+               np.dtype(np.float32): 7, np.dtype(np.float64): 8}
+
+
+def _build():
+    so = os.path.join(_HERE, "_native.so")
+    src = os.path.join(_HERE, "decode.cc")
+    if (not os.path.exists(so)
+            or os.path.getmtime(so) < os.path.getmtime(src)):
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+             src, "-o", so],
+            check=True, capture_output=True)
+    return so
+
+
+def get_lib():
+    """The loaded native library, or None when unavailable."""
+    global _LIB, _LIB_FAILED
+    with _LOCK:
+        if _LIB is not None or _LIB_FAILED:
+            return _LIB
+        try:
+            lib = ctypes.CDLL(_build())
+            lib.mimosa_decode_filtered.restype = ctypes.c_int64
+            lib.mimosa_ring_sort.restype = ctypes.c_int64
+            _LIB = lib
+        except Exception:
+            _LIB_FAILED = True
+        return _LIB
+
+
+def _cptr(a, t):
+    return a.ctypes.data_as(ctypes.POINTER(t))
+
+
+def decode_filtered(data, fields, point_step, max_out, t_scale=1e-9,
+                    t_offset=0.0, range_min=0.2, range_max=100.0,
+                    intensity_min=0.0, intensity_max=1e18, point_skip=1,
+                    ring_skip=1):
+    """Fused decode + filter of a raw cloud buffer into dense arrays.
+
+    fields: iterable of pointcloud2.Field. Returns (xyz [k,3] f32,
+    intensity [k] f32, t_rel [k] f64, ring [k] i32) with k <= max_out.
+    Uses the native pass when available, numpy otherwise (identical output).
+    """
+    from mimosa_tpu.io import pointcloud2 as pc2
+
+    by_name = {f.name: f for f in fields}
+    fmt = pc2.detect_format(fields)
+    tf = {"ouster": "t", "ouster_r8": "t", "ouster_odyssey": "t",
+          "livox_custom2": "t", "internal": "t", "livox": "timestamp",
+          "hesai": "timestamp", "rslidar": "timestamp",
+          "velodyne": "time", "velodyne_anybotics": "time"}[fmt]
+    ring_f = by_name.get("ring") or by_name.get("line")
+    sel = [by_name.get("x"), by_name.get("y"), by_name.get("z"),
+           by_name.get("intensity"), by_name.get(tf), ring_f]
+    offsets = np.asarray([f.offset if f else 0 for f in sel], np.int64)
+    dtypes = np.asarray(
+        [_DTYPE_CODE[np.dtype(pc2._DTYPES[f.datatype])] if f else 0
+         for f in sel], np.int32)
+
+    buf = np.frombuffer(data, np.uint8) if not isinstance(data, np.ndarray) \
+        else data.view(np.uint8).reshape(-1)
+    n = len(buf) // point_step
+
+    lib = get_lib()
+    if lib is not None:
+        xyz = np.empty((max_out, 3), np.float32)
+        inten = np.empty(max_out, np.float32)
+        t = np.empty(max_out, np.float64)
+        ring = np.empty(max_out, np.int32)
+        k = lib.mimosa_decode_filtered(
+            _cptr(buf, ctypes.c_uint8), ctypes.c_int64(n),
+            ctypes.c_int64(point_step), _cptr(offsets, ctypes.c_int64),
+            _cptr(dtypes, ctypes.c_int32), ctypes.c_double(t_scale),
+            ctypes.c_double(t_offset), ctypes.c_double(range_min),
+            ctypes.c_double(range_max), ctypes.c_double(intensity_min),
+            ctypes.c_double(intensity_max), ctypes.c_int64(point_skip),
+            ctypes.c_int64(ring_skip), ctypes.c_int64(max_out),
+            _cptr(xyz, ctypes.c_float), _cptr(inten, ctypes.c_float),
+            _cptr(t, ctypes.c_double), _cptr(ring, ctypes.c_int32))
+        return xyz[:k], inten[:k], t[:k], ring[:k]
+
+    # numpy fallback (same semantics)
+    d = pc2.decode(buf, fields, point_step)
+    t_rel = d["t_rel"] if tf != "t" else d["t_rel"]
+    # pc2.decode already applies t scaling per format; recompute with the
+    # caller's t_scale/t_offset for exact parity with the native path
+    v = pc2.structured_view(buf, fields, point_step)
+    t_raw = v[tf].astype(np.float64) if tf in v.dtype.names else \
+        np.zeros(n)
+    t_rel = t_raw * t_scale - t_offset
+    ok = pc2.point_filters(d["points"], d["intensity"], d["ring"],
+                           range_min=range_min, range_max=range_max,
+                           intensity_min=intensity_min,
+                           intensity_max=intensity_max,
+                           point_skip=point_skip, ring_skip=ring_skip)
+    idx = np.nonzero(ok)[0][:max_out]
+    return (d["points"][idx], d["intensity"][idx], t_rel[idx],
+            d["ring"][idx])

@@ -1,0 +1,31 @@
+"""End-to-end integration test: synthetic replay through the full pipeline.
+
+The reference's integration test is deterministic dataset replay + evo ATE
+(SURVEY.md §4); this is the same gate on a synthetic world with exact
+ground truth, in production dtype (float32) with everything jitted.
+"""
+
+import numpy as np
+
+from mimosa_tpu.io import synthetic_replay as sr
+
+
+def test_e2e_clean():
+    out = sr.run(t_total=6.0, verbose=False)
+    assert out["counters"]["scans_no_imu"] == 0
+    assert out["counters"]["keyframes"] > 5
+    assert out["ate"] < 0.05, out["ate"]
+
+
+def test_e2e_noisy_imu_and_range():
+    out = sr.run(t_total=6.0, verbose=False, seed=3, imu_noise=0.02,
+                 range_noise=0.01)
+    assert out["ate"] < 0.08, out["ate"]
+
+
+def test_e2e_deterministic():
+    a = sr.run(t_total=4.0, verbose=False, seed=5)
+    b = sr.run(t_total=4.0, verbose=False, seed=5)
+    ta = np.asarray([p for _, p, _ in a["sequencer"].trajectory])
+    tb = np.asarray([p for _, p, _ in b["sequencer"].trajectory])
+    np.testing.assert_array_equal(ta, tb)

@@ -1,0 +1,130 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mimosa_tpu.core import lie
+from mimosa_tpu.lidar import photometric as ph
+
+CFG = ph.PhotometricConfig(rows=32, cols=256, range_min=0.5, range_max=50.0,
+                           gradient_threshold=2.0, nma_radius=3,
+                           num_features=40, margin=4,
+                           filter_brightness=False, remove_lines=False,
+                           gaussian_blur=False, intensity_scale=1.0)
+
+
+def textured_scene(seed=0, n=120000):
+    """Points on two textured walls, in lidar frame at the origin."""
+    rng = np.random.default_rng(seed)
+    # four textured walls surrounding the sensor
+    pts = []
+    for axis, val in [(0, 6.0), (1, 5.0), (0, -6.0), (1, -5.0)]:
+        p = rng.uniform(-7, 7, size=(n // 4, 3))
+        p[:, 2] = rng.uniform(-2.5, 2.5, size=n // 4)
+        p[:, axis] = val
+        pts.append(p)
+    pts = np.concatenate(pts)
+    # intensity: smooth blobby texture over space
+    inten = (120 + 60 * np.sin(2.0 * pts[:, 0]) * np.cos(1.5 * pts[:, 1])
+             + 40 * np.sin(3.0 * pts[:, 2]))
+    return jnp.asarray(pts), jnp.asarray(np.clip(inten, 0, 255))
+
+
+def test_project_backproject_roundtrip():
+    pts, _ = textured_scene(1, 2000)
+    u, v, rng, fov = ph.project(pts, CFG)
+    back = ph.backproject(u, v, rng, CFG)
+    ok = np.asarray(fov)
+    err = np.linalg.norm(np.asarray(back - pts), axis=-1)[ok]
+    assert np.median(err) < 0.15  # row quantization within a beam spacing
+
+
+def test_build_images():
+    pts, inten = textured_scene(2)
+    iimg, rimg = ph.build_images(pts, inten, jnp.ones(len(pts), bool), CFG)
+    filled = float(jnp.mean((rimg > 0).astype(jnp.float32)))
+    assert filled > 0.3
+    assert float(jnp.max(iimg)) <= 255.0
+    # ranges are plausible (walls at 5-8 m)
+    r = np.asarray(rimg)
+    assert 4.0 < np.median(r[r > 0]) < 12.0
+
+
+def test_psi_properties():
+    patch = jnp.asarray(np.random.default_rng(3).uniform(0, 255, size=(7, 25)))
+    psi = ph.get_psi(patch)
+    np.testing.assert_allclose(jnp.sum(psi, axis=-1), 0.0, atol=1e-4)
+    np.testing.assert_allclose(jnp.linalg.norm(psi, axis=-1), 1.0, atol=1e-5)
+    # affine intensity invariance: psi(a*I + b) == psi(I)
+    psi2 = ph.get_psi(patch * 3.7 + 55.0)
+    np.testing.assert_allclose(psi, psi2, atol=1e-5)
+
+
+def test_normalization_chain_runs():
+    pts, inten = textured_scene(4)
+    cfg = ph.PhotometricConfig(rows=32, cols=256, intensity_scale=0.5)
+    iimg, rimg = ph.build_images(pts, inten, jnp.ones(len(pts), bool), cfg)
+    out = ph.normalize_intensity(iimg, rimg > 0, cfg)
+    assert out.shape == (32, 256)
+    assert float(jnp.max(out)) <= 255.0
+    assert not bool(jnp.any(jnp.isnan(out)))
+
+
+def test_erode_shrinks_mask():
+    m = jnp.zeros((32, 64), bool).at[10:20, 10:30].set(True)
+    e = ph.erode(m, 2)
+    assert int(jnp.sum(e)) < int(jnp.sum(m))
+    assert bool(e[15, 20])
+    assert not bool(e[10, 10])
+
+
+def test_detect_and_track():
+    pts, inten = textured_scene(5)
+    frame = ph.make_frame(pts, inten, jnp.ones(len(pts), bool), CFG)
+    feats = ph.empty_features(CFG)
+    q = lie.quat_identity(jnp.float32)
+    t = jnp.zeros(3, jnp.float32)
+    feats = ph.detect_features(frame, feats, q, t, CFG)
+    n = int(jnp.sum(feats.valid))
+    assert n > 10, n
+    # residual ~0 at the true pose
+    res = ph.linearize(frame, feats, q, t, CFG)
+    assert int(res.num_tracked) > 0.7 * n
+    assert float(jnp.linalg.norm(res.b)) < 1e-3 * max(
+        float(jnp.linalg.norm(res.H)), 1.0)
+
+
+def test_photometric_pulls_pose_back():
+    """Perturb the pose; GN on the photometric factor alone must reduce
+    the error (features live in world frame, frame is at identity)."""
+    pts, inten = textured_scene(6)
+    frame = ph.make_frame(pts, inten, jnp.ones(len(pts), bool), CFG)
+    feats = ph.empty_features(CFG)
+    q_true = lie.quat_identity(jnp.float32)
+    t_true = jnp.zeros(3, jnp.float32)
+    feats = ph.detect_features(frame, feats, q_true, t_true, CFG)
+
+    q = lie.quat_mul(q_true, lie.exp_so3(
+        jnp.asarray([0.0, 0.0, 0.01], jnp.float32)))
+    t = t_true + jnp.asarray([0.03, -0.02, 0.01], jnp.float32)
+    err0 = float(jnp.linalg.norm(t - t_true)) + float(jnp.linalg.norm(
+        lie.log_so3(lie.quat_mul(lie.quat_conj(q_true), q))))
+    for _ in range(8):
+        res = ph.linearize(frame, feats, q, t, CFG)
+        dx = -jnp.linalg.solve(res.H + jnp.eye(6) * 1e-2, res.b)
+        q, t = lie.se3_retract(q, t, dx)
+    err1 = float(jnp.linalg.norm(t - t_true)) + float(jnp.linalg.norm(
+        lie.log_so3(lie.quat_mul(lie.quat_conj(q_true), q))))
+    assert err1 < 0.5 * err0, (err0, err1)
+
+
+def test_lifecycle():
+    feats = ph.empty_features(CFG)
+    feats = feats._replace(valid=feats.valid.at[:5].set(True),
+                           life=feats.life.at[:5].set(3))
+    tracked = jnp.zeros(CFG.num_features, bool).at[:3].set(True)
+    out = ph.update_lifecycle(feats, tracked, CFG)
+    assert int(jnp.sum(out.valid)) == 3
+    # expiry
+    feats2 = feats._replace(life=feats.life.at[0].set(CFG.max_feature_life))
+    out2 = ph.update_lifecycle(feats2, jnp.ones(CFG.num_features, bool), CFG)
+    assert not bool(out2.valid[0])

@@ -93,13 +93,14 @@ def run_fusion(states, segs, dt, meas_noise=0.0, seed=1,
             H6 = jnp.eye(6) * wgt
             b6 = wgt * r0
             H, rhs = win.build_system(w, preints, fv, CFG,
-                                      meas=[(slot, H6, b6)])
+                                      meas=[(win.pose_idx(slot), H6, b6)])
             dx = win.solve(H, rhs)
             w = win.apply_update(w, dx, CFG)
         # absorb the measurement into the prior
         w = win.rebase_prior(w, CFG)
         r0 = lie.se3_local(q_m, p_m, w.q[slot], w.p[slot])
-        w = win.add_measurement_block(w, slot, jnp.eye(6) * wgt, wgt * r0, CFG)
+        w = win.add_measurement_block(w, win.pose_idx(slot),
+                                      jnp.eye(6) * wgt, wgt * r0, CFG)
         results.append((np.asarray(w.q[slot]), np.asarray(w.p[slot]),
                         np.asarray(w.v[slot])))
     return w, results
