@@ -43,7 +43,9 @@ def main():
 
     s = seq.Sequencer(
         seq_cfg=seq.SequencerConfig(
-            max_scan_points=lm.n_rows * lm.n_cols,
+            # point_skip=4 matches the reference's ENWIDE config
+            # (point_skip_divisor: 4, mimosa/config/enwide/params.yaml)
+            max_scan_points=lm.n_rows * lm.n_cols // 4, point_skip=4,
             n_geo_points=8192, n_map_points=16384,
             geo_leaf=0.5, map_insert_leaf=0.2,
             keyframe_trans_thresh=0.3, keyframe_rot_thresh=0.15,

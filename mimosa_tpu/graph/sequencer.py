@@ -41,6 +41,10 @@ from mimosa_tpu.mapping import voxel_hash as vh
 
 logger = logging.getLogger("mimosa_tpu.sequencer")
 
+# photometric status indices logged into the per-scan debug record
+# (OOB, MASKED, OCCLUDED, NCC — see lidar.photometric status codes)
+PH_SUM_SLOTS = (1, 3, 4, 5)
+
 
 @dataclasses.dataclass(frozen=True)
 class SequencerConfig:
@@ -68,6 +72,17 @@ class SequencerConfig:
     # extrinsics T_B_L (lidar in body)
     q_b_l: tuple = (1.0, 0.0, 0.0, 0.0)
     t_b_l: tuple = (0.0, 0.0, 0.0)
+    # device-resident logging capacities (static)
+    max_keyframes: int = 2048
+    max_trajectory: int = 65536
+    # host->device transfer compression: int16 quantized scans halve the
+    # PCIe (or dev-tunnel) traffic; resolutions are far below sensor noise
+    quantize_transfer: bool = True
+    quant_pos_res: float = 0.005      # m   (range +-163 m)
+    quant_t_res: float = 4e-6         # s   (span 0.26 s)
+    quant_int_res: float = 0.25       # intensity units
+    point_skip: int = 1               # keep every k-th point (ref
+                                      # point_skip_divisor, enwide uses 4)
 
 
 class Sequencer:
@@ -104,14 +119,23 @@ class Sequencer:
         self.initialized = False
         self.scan_idx = 0
         self.last_state_ts = None
-        self.keyframes = []          # list of (q, p) numpy
-        self.trajectory = []         # (ts, p[3], q[4]) of newest state
+        self.state_ts = []           # host mirror of active slot timestamps
         self.counters = {
             "scans": 0, "scans_dropped_ooo": 0, "scans_same_key": 0,
-            "scans_no_imu": 0, "init_attempts": 0, "keyframes": 0,
+            "scans_no_imu": 0, "init_attempts": 0,
         }
-        self.last_icp = None
-        self.last_photo = None
+        # device-resident logging: keyframe poses and the trajectory ring
+        # buffer are written inside the jitted scan step so the hot loop
+        # never blocks on a device->host readback (critical on a tunneled
+        # TPU where every sync costs an RPC round-trip)
+        KF, S = seq_cfg.max_keyframes, seq_cfg.max_trajectory
+        self.kf_q = jnp.zeros((KF, 4), dtype)
+        self.kf_p = jnp.zeros((KF, 3), dtype)
+        self.kf_count = jnp.zeros((), jnp.int32)
+        self.traj_q = jnp.zeros((S, 4), dtype)
+        self.traj_p = jnp.zeros((S, 3), dtype)
+        self.debug_rec = jnp.zeros((S, 16), dtype)
+        self._traj_ts = []           # host: timestamps, index = ring row
 
         # window/preints are ~100 KB — not worth donating (and create()
         # aliases zero-buffers across fields); the map is the big buffer.
@@ -130,7 +154,51 @@ class Sequencer:
         self._jit_declare = jax.jit(
             functools.partial(_declare_step, seq_cfg=seq_cfg,
                               win_cfg=win_cfg))
+        self._jit_traj_append = jax.jit(
+            lambda tq, tp, i, q, p: (tq.at[i].set(q), tp.at[i].set(p)),
+            donate_argnums=(0, 1))
         self._step_cache = {}
+
+    # ------------------------------------------------------- logged outputs
+    @property
+    def trajectory(self):
+        """[(ts, p [3], q_wxyz [4])] — fetched from the device ring buffer
+        (one transfer; call sparingly, e.g. at end of replay)."""
+        n = len(self._traj_ts)
+        if n == 0:
+            return []
+        q = np.asarray(self.traj_q[:n])
+        p = np.asarray(self.traj_p[:n])
+        return [(self._traj_ts[i], p[i], q[i]) for i in range(n)]
+
+    @property
+    def num_keyframes(self):
+        return int(self.kf_count)
+
+    def debug_records(self):
+        """Per-scan debug record array [n_scans, 16]: num_inlier, 4 status
+        counts, mean_abs_res, 3+3 degeneracy flags, photometric tracked —
+        the equivalent of the reference's LidarGeometricDebug /
+        LidarPhotometricDebug messages."""
+        return np.asarray(self.debug_rec[: self.scan_idx])
+
+    @property
+    def last_icp(self):
+        """(num_inlier, status_counts[4], mean_abs_res, degen_rot[3],
+        degen_trans[3]) of the newest scan, or None."""
+        if self.scan_idx == 0:
+            return None
+        r = np.asarray(self.debug_rec[self.scan_idx - 1])
+        return (int(r[0]), r[1:5].astype(np.int64), float(r[5]),
+                r[6:9] > 0.5, r[9:12] > 0.5)
+
+    @property
+    def last_photo(self):
+        """(num_tracked, [tracked, oob, masked+occluded, ncc]) or None."""
+        if self.photo_cfg is None or self.scan_idx == 0:
+            return None
+        r = np.asarray(self.debug_rec[self.scan_idx - 1])
+        return (int(r[12]), r[12:16].astype(np.int64))
 
     # ------------------------------------------------------------------ IMU
     def add_imu(self, ts, acc, gyro):
@@ -155,8 +223,8 @@ class Sequencer:
         self.counters.setdefault("radar_dropped", 0)
         self.counters["radar_frames"] += 1
         ts = float(ts)
-        if not self.initialized or ts <= self.last_state_ts or \
-                not self.imu.covers(self.last_state_ts, ts):
+        if not self.initialized or \
+                not self.imu.covers(min(self.last_state_ts, ts), ts):
             self.counters["radar_dropped"] += 1
             return
 
@@ -175,6 +243,10 @@ class Sequencer:
 
         mean_acc, mean_gyro = self.imu.mean_measurements(
             max(ts - 0.02, self.imu.t_first), ts)
+
+        if ts <= self.last_state_ts:
+            self._radar_ooo(ts, pts_raw, dop, snr, mean_gyro, rcfg)
+            return
 
         declare = self.imu.count_between(self.last_state_ts, ts) >= \
             self.cfg.min_imu_between_states
@@ -199,9 +271,85 @@ class Sequencer:
         if declare:
             self.n_active += 1
             self.last_state_ts = ts
-            self._shift_aux_slots()
-        self.trajectory.append((ts, np.asarray(p_new).copy(),
-                                np.asarray(q_new).copy()))
+            self.state_ts.append(ts)
+        self.traj_q, self.traj_p = self._jit_traj_append(
+            self.traj_q, self.traj_p,
+            jnp.asarray(len(self._traj_ts), jnp.int32), q_new, p_new)
+        self._traj_ts.append(ts)
+
+    def _radar_ooo(self, ts, pts_raw, dop, snr, mean_gyro, rcfg):
+        """Out-of-order radar: same-key collapse onto a neighbor state, or
+        mid-window state insertion with segment re-integration
+        (ref graph/manager.cpp:220-417 decision tree)."""
+        self.counters.setdefault("radar_ooo_samekey", 0)
+        self.counters.setdefault("radar_ooo_inserted", 0)
+        self.counters.setdefault("radar_ooo_dropped", 0)
+        lat = self.last_state_ts - ts
+        if lat > self.cfg.max_measurement_latency or \
+                ts <= self.state_ts[0] or self.n_active < 2:
+            self.counters["radar_ooo_dropped"] += 1
+            return
+        # position among active states
+        import bisect
+        pos = bisect.bisect_left(self.state_ts, ts)  # insert index
+        prev_ts = self.state_ts[pos - 1]
+        next_ts = self.state_ts[pos]
+        min_imu = self.cfg.min_imu_between_states
+        near_prev = self.imu.count_between(prev_ts, ts) < min_imu
+        near_next = self.imu.count_between(ts, next_ts) < min_imu
+        if near_prev or near_next:
+            slot = pos - 1 if near_prev else pos
+            jit_fn = self._get_radar_samekey(rcfg)
+            (self.window, self.preints, self.fv, _, _, _) = jit_fn(
+                self.window, self.preints, self.fv,
+                jnp.asarray(slot, jnp.int32),
+                jnp.asarray(pts_raw, self.dtype),
+                jnp.asarray(dop, self.dtype), jnp.asarray(snr, self.dtype),
+                jnp.asarray(mean_gyro, self.dtype))
+            self.counters["radar_ooo_samekey"] += 1
+            return
+        if self.n_active == self.win_cfg.K:
+            self._marginalize_host()
+            pos -= 1
+            if pos < 1:
+                self.counters["radar_ooo_dropped"] += 1
+                return
+            prev_ts = self.state_ts[pos - 1]
+        m = self.cfg.max_imu_per_segment
+        _, accs_a, gyros_a, dts_a, va, _ = self.imu.segment(prev_ts, ts, m)
+        _, accs_b, gyros_b, dts_b, vb, _ = self.imu.segment(ts, next_ts, m)
+        jit_fn = self._get_radar_ooo(rcfg)
+        d = self.dtype
+        (self.window, self.preints, self.fv, _, _, _) = jit_fn(
+            self.window, self.preints, self.fv,
+            jnp.asarray(accs_a, d), jnp.asarray(gyros_a, d),
+            jnp.asarray(dts_a, d), jnp.asarray(va),
+            jnp.asarray(accs_b, d), jnp.asarray(gyros_b, d),
+            jnp.asarray(dts_b, d), jnp.asarray(vb),
+            jnp.asarray(pos, jnp.int32),
+            jnp.asarray(pts_raw, d), jnp.asarray(dop, d),
+            jnp.asarray(snr, d), jnp.asarray(mean_gyro, d))
+        self.n_active += 1
+        self.state_ts.insert(pos, ts)
+        prev = getattr(self, "_odom_prev", None)
+        if prev is not None and prev["slot"] >= pos:
+            prev["slot"] += 1
+        self.counters["radar_ooo_inserted"] += 1
+
+    def _get_radar_samekey(self, rcfg):
+        key = ("radar_sk",)
+        if key not in self._step_cache:
+            self._step_cache[key] = jax.jit(functools.partial(
+                _radar_samekey_step, win_cfg=self.win_cfg, radar_cfg=rcfg))
+        return self._step_cache[key]
+
+    def _get_radar_ooo(self, rcfg):
+        key = ("radar_ooo",)
+        if key not in self._step_cache:
+            self._step_cache[key] = jax.jit(functools.partial(
+                _radar_ooo_step, seq_cfg=self.cfg, win_cfg=self.win_cfg,
+                radar_cfg=rcfg))
+        return self._step_cache[key]
 
     # ------------------------------------------------------------- odometry
     def add_odometry(self, ts, q_s, t_s, cov6=None, odom_cfg=None):
@@ -266,23 +414,24 @@ class Sequencer:
         if declare:
             self.n_active += 1
             self.last_state_ts = ts
-            self._shift_aux_slots()
+            self.state_ts.append(ts)
         self._odom_prev = dict(slot=self.n_active - 1, q=np.asarray(q_s),
                                t=np.asarray(t_s))
-        self.trajectory.append((ts, np.asarray(p_new).copy(),
-                                np.asarray(q_new).copy()))
+        self.traj_q, self.traj_p = self._jit_traj_append(
+            self.traj_q, self.traj_p,
+            jnp.asarray(len(self._traj_ts), jnp.int32), q_new, p_new)
+        self._traj_ts.append(ts)
 
     # --------------------------------------------------------- declare utils
     def _marginalize_host(self):
         self.window, self.preints, self.fv = self._jit_marginalize(
             self.window, self.preints, self.fv)
         self.n_active -= 1
+        if self.state_ts:
+            self.state_ts.pop(0)
         prev = getattr(self, "_odom_prev", None)
         if prev is not None:
             prev["slot"] -= 1
-
-    def _shift_aux_slots(self):
-        pass  # slots only shift on marginalization (handled above)
 
     def _declare_plain(self, ts):
         """Declare a new state from IMU alone (no measurement factor)."""
@@ -296,6 +445,7 @@ class Sequencer:
         )
         self.n_active += 1
         self.last_state_ts = ts
+        self.state_ts.append(ts)
 
     def _get_radar_step(self, declare, rcfg):
         key = ("radar", declare)
@@ -344,6 +494,13 @@ class Sequencer:
             self.counters["scans_same_key"] += 1
             return
 
+        if self.cfg.point_skip > 1:
+            k = self.cfg.point_skip
+            points = points[::k]
+            t_rel = t_rel[::k]
+            valid = valid[::k]
+            intensity = np.asarray(intensity)[::k]
+
         n = self.cfg.max_scan_points
         pts, tp, vd = _pad_scan(points, ts_header + t_rel, valid, n,
                                 self.dtype)
@@ -365,47 +522,50 @@ class Sequencer:
         if self.n_active == self.win_cfg.K:
             self._marginalize_host()
 
-        (self.window, self.preints, self.fv, q_new, p_new, icp_out,
-         map_pts, map_valid, self.features, photo_out) = self._jit_scan_step(
+        # pack per-scan inputs to minimize H2D transfers; optional int16
+        # quantization halves the bytes again (sentinel t = -32768 marks
+        # invalid lanes, so the validity mask costs nothing)
+        imu_f = np.concatenate([accs, gyros, dts[:, None]], axis=1)
+        if self.cfg.quantize_transfer:
+            c = self.cfg
+            scan_q = np.empty((n, 5), np.int16)
+            scan_q[:, :3] = np.clip(np.round(pts / c.quant_pos_res),
+                                    -32767, 32767)
+            # valid t in [-32767, 32767], sentinel -32768 = invalid lane
+            scan_q[:, 3] = np.where(
+                vd, np.clip(np.round(tp / c.quant_t_res), 0, 65534) - 32767,
+                -32768)
+            scan_q[:, 4] = np.clip(np.round(inten / c.quant_int_res),
+                                   0, 32767)
+            scan_dev = jnp.asarray(scan_q)
+            valid_dev = None
+        else:
+            scan_dev = jnp.asarray(
+                np.concatenate([pts, tp[:, None], inten[:, None]], axis=1),
+                self.dtype)
+            valid_dev = jnp.asarray(vd)
+
+        (self.window, self.vmap, self.preints, self.fv, self.features,
+         self.kf_q, self.kf_p, self.kf_count, self.traj_q, self.traj_p,
+         self.debug_rec) = self._jit_scan_step(
             self.window, self.vmap, self.preints, self.fv,
-            jnp.asarray(pts, self.dtype), jnp.asarray(tp, self.dtype),
-            jnp.asarray(vd),
-            jnp.asarray(accs, self.dtype), jnp.asarray(gyros, self.dtype),
-            jnp.asarray(ts_seg, self.dtype),
-            jnp.asarray(dts, self.dtype), jnp.asarray(seg_valid),
+            scan_dev, valid_dev,
+            jnp.asarray(imu_f, self.dtype), jnp.asarray(seg_valid),
             jnp.asarray(self.n_active, jnp.int32),
             jnp.asarray(t_end_rel, self.dtype),
-            jnp.asarray(inten, self.dtype), self.features,
+            self.kf_q, self.kf_p, self.kf_count,
+            self.traj_q, self.traj_p,
+            jnp.asarray(len(self._traj_ts), jnp.int32),
+            self.debug_rec, jnp.asarray(self.scan_idx, jnp.int32),
+            self.features,
         )
-        self.last_photo = photo_out
         self.n_active += 1
         self.last_state_ts = t_end
-        self.last_icp = icp_out
+        self.state_ts.append(t_end)
+        self._traj_ts.append(t_end)
         self.scan_idx += 1
 
-        q_np, p_np = np.asarray(q_new), np.asarray(p_new)
-        self.trajectory.append((t_end, p_np.copy(), q_np.copy()))
-        if self._keyframe_test(q_np, p_np):
-            self.keyframes.append((q_np, p_np))
-            self.counters["keyframes"] += 1
-            self.vmap = self._jit_map_update(
-                self.vmap, map_pts, map_valid,
-                jnp.asarray(self.scan_idx, jnp.int32))
-
     # --------------------------------------------------------------- helpers
-    def _keyframe_test(self, q, p):
-        if len(self.keyframes) < self.cfg.num_initial_keyframes:
-            return True
-        dmin, amin = np.inf, np.inf
-        for qk, pk in self.keyframes:
-            dmin = min(dmin, float(np.linalg.norm(p - pk)))
-            dq = np.asarray(lie.quat_mul(lie.quat_conj(jnp.asarray(qk)),
-                                         jnp.asarray(q)))
-            amin = min(amin, float(np.linalg.norm(
-                np.asarray(lie.log_so3(jnp.asarray(dq))))))
-        return dmin > self.cfg.keyframe_trans_thresh or \
-            amin > self.cfg.keyframe_rot_thresh
-
     def _try_initialize(self, ts_header, t_end, points, t_abs_rel, valid):
         self.counters["init_attempts"] += 1
         att = estimate_attitude(self.imu, t_end, self.cfg.pose_init_wait_secs,
@@ -424,7 +584,13 @@ class Sequencer:
         self.n_active = 1
         self.initialized = True
         self.last_state_ts = t_end
-        self.trajectory.append((t_end, np.zeros(3), np.asarray(q0)))
+        self.state_ts = [t_end]
+        self.traj_q = self.traj_q.at[0].set(q0)
+        self.traj_p = self.traj_p.at[0].set(jnp.zeros(3, d))
+        self._traj_ts.append(t_end)
+        self.kf_q = self.kf_q.at[0].set(q0)
+        self.kf_p = self.kf_p.at[0].set(jnp.zeros(3, d))
+        self.kf_count = jnp.asarray(1, jnp.int32)
 
         # seed the map with the (assumed stationary) first scan
         n = self.cfg.max_scan_points
@@ -439,7 +605,6 @@ class Sequencer:
             self.cfg.n_map_points)
         self.vmap = self._jit_map_update(self.vmap, ds, ds_valid,
                                          jnp.asarray(0, jnp.int32))
-        self.keyframes.append((np.asarray(q0), np.zeros(3)))
         logger.info("initialized at ts=%.4f q=%s", t_end, att["q_w_b"])
 
     def write_tum(self, path):
@@ -470,13 +635,20 @@ def _set_segment(preints, i, seg):
     return jax.tree_util.tree_map(lambda a, s: a.at[i].set(s), preints, seg)
 
 
-def _scan_step(window, vmap, preints, fv, pts, t_pts, pt_valid,
-               accs, gyros, imu_ts, dts, seg_valid, n_active, t_end,
-               intensity=None, features=None,
+def _scan_step(window, vmap, preints, fv, scan_f, pt_valid,
+               imu_f, seg_valid, n_active, t_end,
+               kf_q, kf_p, kf_count, traj_q, traj_p, traj_idx,
+               debug_rec, scan_idx, features=None,
                *, seq_cfg, win_cfg, map_cfg, geo_cfg, photo_cfg=None,
-               linearize_fn=None):
-    """The whole per-scan pipeline as one XLA program. ``n_active`` is the
-    count BEFORE appending (the new state lands in slot ``n_active``).
+               linearize_fn=None, map_update_fn=None):
+    """The whole per-scan pipeline as one XLA program — deskew, downsample,
+    predict/append, GN with live relinearization, prior absorption,
+    device-side keyframe decision + map update + trajectory/debug logging.
+    ``n_active`` is the count BEFORE appending (the new state lands in slot
+    ``n_active``).
+
+    scan_f: [N,5] packed (x, y, z, t_rel, intensity); imu_f: [M,7] packed
+    (acc3, gyro3, dt) with timestamps implied by cumulative dt.
 
     ``linearize_fn(vmap, pts, valid, q, t, g_dir) -> ICPResult`` defaults to
     the single-device geometric kernel; the parallel module swaps in the
@@ -490,7 +662,27 @@ def _scan_step(window, vmap, preints, fv, pts, t_pts, pt_valid,
         def linearize_fn(vmap_, pts_, valid_, q_, t_, g_dir_):
             return geo.linearize(vmap_, pts_, valid_, q_, t_, map_cfg,
                                  geo_cfg, g_dir=g_dir_)
+    if map_update_fn is None:
+        def map_update_fn(vmap_, pts_, valid_, idx_):
+            vmap_ = vh.insert(vmap_, pts_, valid_, idx_, map_cfg)
+            vmap_ = vh.evict_stale(vmap_, idx_, map_cfg)
+            return vh.update_planes(vmap_, map_cfg)
     d = window.p.dtype
+    if seq_cfg.quantize_transfer:
+        # int16 dequantization; sentinel t == -32768 encodes invalid lanes
+        pts = scan_f[:, :3].astype(d) * seq_cfg.quant_pos_res
+        t_pts = (scan_f[:, 3].astype(d) + 32767.0) * seq_cfg.quant_t_res
+        intensity = scan_f[:, 4].astype(d) * seq_cfg.quant_int_res
+        pt_valid = scan_f[:, 3] != jnp.int16(-32768)
+    else:
+        pts = scan_f[:, :3]
+        t_pts = scan_f[:, 3]
+        intensity = scan_f[:, 4]
+    accs = imu_f[:, 0:3]
+    gyros = imu_f[:, 3:6]
+    dts = imu_f[:, 6]
+    imu_ts = jnp.concatenate([jnp.zeros(1, d), jnp.cumsum(dts)[:-1]])
+
     last = n_active - 1
     q0, p0, v0 = window.q[last], window.p[last], window.v[last]
     bg, ba = window.bg[last], window.ba[last]
@@ -498,11 +690,9 @@ def _scan_step(window, vmap, preints, fv, pts, t_pts, pt_valid,
     q_bl = jnp.asarray(seq_cfg.q_b_l, d)
     t_bl = jnp.asarray(seq_cfg.t_b_l, d)
 
-    # 1) deskew into scan-end lidar frame (f64 time base, f32 math)
-    dsk = dk.deskew(pts, (t_pts - imu_ts[0]).astype(d), pt_valid,
-                    q0, p0, v0, accs, gyros,
-                    (imu_ts - imu_ts[0]).astype(d), bg, ba, g_vec,
-                    q_bl, t_bl, (t_end - imu_ts[0]).astype(d))
+    # 1) deskew into scan-end lidar frame (times already segment-relative)
+    dsk = dk.deskew(pts, t_pts, pt_valid, q0, p0, v0, accs, gyros,
+                    imu_ts, bg, ba, g_vec, q_bl, t_bl, t_end)
 
     # 2) preintegrate the IMU factor segment last->new
     seg = pre.preintegrate(accs, gyros, dts, bg, ba,
@@ -578,16 +768,51 @@ def _scan_step(window, vmap, preints, fv, pts, t_pts, pt_valid,
         features = ph.detect_features(frame, features, q_wl, t_wl, photo_cfg)
         photo_out = (pr.num_tracked, pr.status_counts)
 
-    # 7) map-insertion cloud in world frame at the converged pose
-    q_wl, t_wl = lie.se3_compose(window.q[slot], window.p[slot], q_bl, t_bl)
+    # 7) device-side keyframe decision (ref geometric.cpp:440-478) + map
+    # update + trajectory/debug logging — no host round-trip anywhere
+    q_new, p_new = window.q[slot], window.p[slot]
+    kf_idx = jnp.arange(seq_cfg.max_keyframes)
+    kf_mask = kf_idx < kf_count
+    dmin = jnp.min(jnp.where(
+        kf_mask, jnp.linalg.norm(kf_p - p_new[None], axis=-1), jnp.inf))
+    dots = jnp.abs(kf_q @ q_new)
+    amin = jnp.min(jnp.where(kf_mask, 2.0 * jnp.arccos(
+        jnp.clip(dots, -1.0, 1.0)), jnp.inf))
+    is_kf = (kf_count < seq_cfg.num_initial_keyframes) | \
+        (dmin > seq_cfg.keyframe_trans_thresh) | \
+        (amin > seq_cfg.keyframe_rot_thresh)
+
+    q_wl, t_wl = lie.se3_compose(q_new, p_new, q_bl, t_bl)
     pts_w = lie.se3_transform(q_wl, t_wl, dsk.points_le)
     map_pts, map_valid, _ = voxel_downsample(
         pts_w, pt_valid, seq_cfg.map_insert_leaf, seq_cfg.n_map_points)
+    vmap = map_update_fn(vmap, map_pts, map_valid & is_kf, scan_idx)
 
-    icp_out = (icp.num_inlier, icp.status_counts, icp.mean_abs_res,
-               icp.degenerate_rot, icp.degenerate_trans)
-    return (window, preints, fv, window.q[slot], window.p[slot], icp_out,
-            map_pts, map_valid, features, photo_out)
+    kf_slot = jnp.where(is_kf, kf_count,
+                        jnp.asarray(seq_cfg.max_keyframes - 1, jnp.int32))
+    kf_q = kf_q.at[kf_slot].set(jnp.where(is_kf, q_new, kf_q[kf_slot]))
+    kf_p = kf_p.at[kf_slot].set(jnp.where(is_kf, p_new, kf_p[kf_slot]))
+    kf_count = kf_count + is_kf.astype(jnp.int32)
+
+    traj_q = traj_q.at[traj_idx].set(q_new)
+    traj_p = traj_p.at[traj_idx].set(p_new)
+
+    rec = jnp.zeros(16, d)
+    rec = rec.at[0].set(icp.num_inlier.astype(d))
+    rec = rec.at[1:5].set(icp.status_counts.astype(d))
+    rec = rec.at[5].set(icp.mean_abs_res)
+    rec = rec.at[6:9].set(icp.degenerate_rot.astype(d))
+    rec = rec.at[9:12].set(icp.degenerate_trans.astype(d))
+    if photo_out is not None:
+        rec = rec.at[12].set(photo_out[0].astype(d))
+        rec = rec.at[13].set(photo_out[1][PH_SUM_SLOTS[0]].astype(d))
+        rec = rec.at[14].set((photo_out[1][PH_SUM_SLOTS[1]]
+                              + photo_out[1][PH_SUM_SLOTS[2]]).astype(d))
+        rec = rec.at[15].set(photo_out[1][PH_SUM_SLOTS[3]].astype(d))
+    debug_rec = debug_rec.at[scan_idx].set(rec)
+
+    return (window, vmap, preints, fv, features, kf_q, kf_p, kf_count,
+            traj_q, traj_p, debug_rec)
 
 
 def _marginalize(window, preints, fv, *, win_cfg):
@@ -625,6 +850,78 @@ def _declare_step(window, preints, fv, accs, gyros, dts, seg_valid, n_active,
     window, preints, fv, slot = _declare_core(
         window, preints, fv, accs, gyros, dts, seg_valid, n_active, seq_cfg)
     return window, preints, fv, window.q[slot], window.p[slot]
+
+
+def _insert_preint_segments(preints, fv, pos, seg_a, seg_b):
+    """After inserting a state at slot ``pos``: segment pos-1 becomes
+    (prev -> new), segment pos becomes (new -> next), later segments shift
+    right (the re-integration replacing the reference's IMU factor breaking,
+    graph/manager.cpp:267-417)."""
+    k1 = fv.shape[0]
+    j = jnp.arange(k1)
+    take = jnp.where(j < pos, j, j - 1)
+
+    def shift(a, new_a, new_b):
+        shifted = a[take]
+        sel_a = (j == pos - 1).reshape((k1,) + (1,) * (a.ndim - 1))
+        sel_b = (j == pos).reshape((k1,) + (1,) * (a.ndim - 1))
+        return jnp.where(sel_a, new_a, jnp.where(sel_b, new_b, shifted))
+
+    preints = jax.tree_util.tree_map(shift, preints, seg_a, seg_b)
+    fv = shift(fv, jnp.asarray(True), jnp.asarray(True))
+    return preints, fv
+
+
+def _radar_ooo_step(window, preints, fv, accs_a, gyros_a, dts_a, valid_a,
+                    accs_b, gyros_b, dts_b, valid_b, pos,
+                    pts_r, doppler, snr_db, omega, *, seq_cfg, win_cfg,
+                    radar_cfg):
+    """Out-of-order radar declare: insert a state at ``pos`` (traced),
+    re-integrate the two surrounding IMU segments, then GN with the Doppler
+    factor on the inserted slot."""
+    prev = pos - 1
+    bg, ba = window.bg[prev], window.ba[prev]
+    seg_a = pre.preintegrate(accs_a, gyros_a, dts_a, bg, ba, seq_cfg.acc_var,
+                             seq_cfg.gyro_var, valid=valid_a)
+    seg_b = pre.preintegrate(accs_b, gyros_b, dts_b, bg, ba, seq_cfg.acc_var,
+                             seq_cfg.gyro_var, valid=valid_b)
+    qn, pn, vn = pre.predict(seg_a, window.q[prev], window.p[prev],
+                             window.v[prev], window.g_dir * seq_cfg.g_mag)
+    window = win.insert_state_at(window, pos, qn, pn, vn, bg, ba, 0.0,
+                                 win_cfg)
+    preints, fv = _insert_preint_segments(preints, fv, pos, seg_a, seg_b)
+    return _radar_gn(window, preints, fv, pos, pts_r, doppler, snr_db,
+                     omega, win_cfg=win_cfg, radar_cfg=radar_cfg)
+
+
+def _radar_gn(window, preints, fv, slot, pts_r, doppler, snr_db, omega,
+              *, win_cfg, radar_cfg):
+    from mimosa_tpu.radar import factor as rad
+
+    dirs, _, valid = rad.filter_targets(pts_r, snr_db, radar_cfg)
+    res = None
+    for _ in range(2):
+        res = rad.linearize(window.q[slot], window.v[slot], window.bg[slot],
+                            omega, dirs, doppler, valid, radar_cfg)
+        H, rhs = win.build_system(window, preints, fv, win_cfg,
+                                  meas=[(win.rot_vel_bg_idx(slot), res.H,
+                                         res.b)])
+        dx = win.solve(H, rhs)
+        window = win.apply_update(window, dx, win_cfg)
+    res = rad.linearize(window.q[slot], window.v[slot], window.bg[slot],
+                        omega, dirs, doppler, valid, radar_cfg)
+    window = win.rebase_prior(window, win_cfg)
+    window = win.add_measurement_block(window, win.rot_vel_bg_idx(slot),
+                                       res.H, res.b, win_cfg)
+    return (window, preints, fv, window.q[slot], window.p[slot],
+            res.num_inlier)
+
+
+def _radar_samekey_step(window, preints, fv, slot, pts_r, doppler, snr_db,
+                        omega, *, win_cfg, radar_cfg):
+    """Attach a Doppler factor to an existing state (SUCCESS_SAME_KEY)."""
+    return _radar_gn(window, preints, fv, slot, pts_r, doppler, snr_db,
+                     omega, win_cfg=win_cfg, radar_cfg=radar_cfg)
 
 
 def _radar_step(window, preints, fv, accs, gyros, dts, seg_valid, n_active,

@@ -384,6 +384,53 @@ def marginalize_oldest(w: Window, preints: pre.PreintState,
     )
 
 
+def insert_state_at(w: Window, pos, q, p, v, bg, ba, ts,
+                    cfg: WindowConfig) -> Window:
+    """Insert a state at slot ``pos`` (traced int), shifting slots >= pos
+    right by one. Requires a free slot (active count < K) — the sequencer
+    marginalizes first when full.
+
+    This is the TPU-native replacement for the reference's out-of-order
+    factor surgery (graph/manager.cpp:267-417): instead of breaking an IMU
+    factor inside iSAM2, the window inserts the state and the sequencer
+    re-integrates the two surrounding preintegration segments. The prior is
+    block-permuted accordingly (the inserted state carries no prior).
+    """
+    K, D = cfg.K, cfg.D
+    src = jnp.arange(K)
+    take = jnp.where(src < pos, src, src - 1)   # right shift from pos
+    at_pos = src == pos
+
+    def shift_in(arr, new_val):
+        shifted = arr[take]
+        sel = at_pos.reshape((K,) + (1,) * (arr.ndim - 1))
+        return jnp.where(sel, new_val, shifted)
+
+    # prior permutation: old block b goes to b if b < pos else b+1;
+    # the inserted block's rows/cols are zero.
+    tang_new = jnp.arange(D)
+    blk_new = jnp.minimum(tang_new // SD, K - 1)
+    off = tang_new - blk_new * SD
+    is_g = tang_new >= K * SD
+    src_blk = jnp.where(blk_new < pos, blk_new, blk_new - 1)
+    src_idx = jnp.where(is_g, tang_new, src_blk * SD + off)
+    fresh = (~is_g) & (blk_new == pos)
+    Hp = w.H_prior[src_idx[:, None], src_idx[None, :]]
+    Hp = jnp.where(fresh[:, None] | fresh[None, :], 0.0, Hp)
+    bp = jnp.where(fresh, 0.0, w.b_prior[src_idx])
+
+    return w._replace(
+        q=shift_in(w.q, q), p=shift_in(w.p, p), v=shift_in(w.v, v),
+        bg=shift_in(w.bg, bg), ba=shift_in(w.ba, ba),
+        ts=shift_in(w.ts, ts),
+        active=shift_in(w.active, jnp.asarray(True)),
+        H_prior=Hp, b_prior=bp,
+        lin_q=shift_in(w.lin_q, q), lin_p=shift_in(w.lin_p, p),
+        lin_v=shift_in(w.lin_v, v), lin_bg=shift_in(w.lin_bg, bg),
+        lin_ba=shift_in(w.lin_ba, ba),
+    )
+
+
 def newest_slot(w: Window):
     """Index of the newest active slot."""
     return jnp.sum(w.active.astype(jnp.int32)) - 1

@@ -197,7 +197,11 @@ def make_sharded_scan_step(mesh, seq_cfg, win_cfg, map_cfg, geo_cfg):
         return sharded_linearize(vmap_s, pts, valid, q, t, g_dir,
                                  map_cfg, geo_cfg, mesh)
 
+    def map_update_fn(vmap_s, pts, valid, idx):
+        return sharded_insert(vmap_s, pts, valid, idx, map_cfg, mesh)
+
     step = functools.partial(sq._scan_step, seq_cfg=seq_cfg, win_cfg=win_cfg,
                              map_cfg=map_cfg, geo_cfg=geo_cfg,
-                             linearize_fn=linearize_fn)
+                             linearize_fn=linearize_fn,
+                             map_update_fn=map_update_fn)
     return jax.jit(step)

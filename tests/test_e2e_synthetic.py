@@ -13,7 +13,7 @@ from mimosa_tpu.io import synthetic_replay as sr
 def test_e2e_clean():
     out = sr.run(t_total=6.0, verbose=False)
     assert out["counters"]["scans_no_imu"] == 0
-    assert out["counters"]["keyframes"] > 5
+    assert out["sequencer"].num_keyframes > 5
     assert out["ate"] < 0.05, out["ate"]
 
 
