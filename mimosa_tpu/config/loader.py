@@ -13,6 +13,7 @@ ref launch/enwide_rosbag.launch:17-21) deep-merge on top.
 from __future__ import annotations
 
 import dataclasses
+import json
 import math
 from typing import Any
 
@@ -63,6 +64,63 @@ def _pose7(v):
     """Reference T_B_S format [x y z qx qy qz qw] -> (q_wxyz, t)."""
     x, y, z, qx, qy, qz, qw = v
     return (qw, qx, qy, qz), (x, y, z)
+
+
+def load_ouster_metadata(path) -> dict:
+    """Ouster sensor metadata JSON (the reference loads it into the
+    ``lidar/sensor`` namespace — ref photometric_config.cpp:64-74,
+    e.g. mimosa/config/enwide/os_enwide.json). Returns beam altitude
+    angles in radians, per-row pixel shifts and image dimensions."""
+    with open(path) as f:
+        meta = json.load(f)
+    bi = meta.get("beam_intrinsics", meta)
+    alt_deg = bi.get("beam_altitude_angles")
+    li = meta.get("lidar_data_format", meta.get("data_format", {}))
+    shifts = li.get("pixel_shift_by_row")
+    cols = li.get("columns_per_frame")
+    rows = li.get("pixels_per_column", len(alt_deg) if alt_deg else None)
+    if cols is None:
+        mode = meta.get("config_params", {}).get("lidar_mode", "1024x10")
+        cols = int(str(mode).split("x")[0])
+    return dict(
+        beam_altitudes=tuple(math.radians(a) for a in alt_deg),
+        pixel_shift_by_row=tuple(shifts) if shifts else None,
+        rows=int(rows), cols=int(cols),
+    )
+
+
+def photometric_from_reference(raw: dict, ouster_meta=None):
+    """Build a PhotometricConfig from the reference's ``lidar/photometric``
+    namespace (ref photometric_config.cpp:14-112) + optional Ouster
+    metadata for the beam table."""
+    from mimosa_tpu.lidar.photometric import PhotometricConfig
+
+    g = lambda p, d=None: _get(raw, "lidar/photometric/" + p, d)  # noqa: E731
+    kw = dict(
+        range_min=float(g("range_min", 0.5)),
+        range_max=float(g("range_max", 30.0)),
+        patch_size=int(g("patch_size", 5)),
+        margin=int(g("margin_size", 10)),
+        erosion_buffer=int(g("erosion_buffer", 10)),
+        intensity_scale=float(g("intensity_scale", 0.25)),
+        intensity_gamma=float(g("intensity_gamma", 1.0)),
+        remove_lines=bool(g("remove_lines", True)),
+        filter_brightness=bool(g("filter_brightness", True)),
+        brightness_window=tuple(g("brightness_window_size", (41, 7))),
+        gaussian_blur=bool(g("gaussian_blur", True)),
+        gradient_threshold=float(g("gradient_threshold", 10.0)),
+        nma_radius=int(g("nma_radius", 11)),
+        num_features=int(g("num_features_detect", 60)),
+        max_feature_life=int(g("max_feature_life_time", 1000)),
+        occlusion_range_diff=float(
+            g("occlusion_range_diff_threshold", 0.2)),
+        sigma=float(g("sigma", 0.25)),
+        max_error=float(g("max_error", 0.5075)),
+    )
+    if ouster_meta:
+        kw.update(rows=ouster_meta["rows"], cols=ouster_meta["cols"],
+                  beam_altitudes=ouster_meta["beam_altitudes"])
+    return PhotometricConfig(**kw)
 
 
 def load_reference_yaml(path, override_path=None, declare_rate_hz=10.0,

@@ -38,6 +38,7 @@ from mimosa_tpu.lidar import deskew as dk
 from mimosa_tpu.lidar import geometric as geo
 from mimosa_tpu.lidar.downsample import voxel_downsample
 from mimosa_tpu.mapping import voxel_hash as vh
+from mimosa_tpu.utils.timing import StageTimer
 
 logger = logging.getLogger("mimosa_tpu.sequencer")
 
@@ -136,6 +137,8 @@ class Sequencer:
         self.traj_p = jnp.zeros((S, 3), dtype)
         self.debug_rec = jnp.zeros((S, 16), dtype)
         self._traj_ts = []           # host: timestamps, index = ring row
+        # per-stage host wall timings (ref LidarManagerDebug t_* fields)
+        self.timers = StageTimer()
 
         # window/preints are ~100 KB — not worth donating (and create()
         # aliases zero-buffers across fields); the map is the big buffer.
@@ -501,12 +504,13 @@ class Sequencer:
             valid = valid[::k]
             intensity = np.asarray(intensity)[::k]
 
-        n = self.cfg.max_scan_points
-        pts, tp, vd = _pad_scan(points, ts_header + t_rel, valid, n,
-                                self.dtype)
-        inten = np.zeros(n)
-        inten[:min(len(intensity), n)] = np.nan_to_num(
-            intensity[:min(len(intensity), n)])
+        with self.timers.stage("t_prepare"):
+            n = self.cfg.max_scan_points
+            pts, tp, vd = _pad_scan(points, ts_header + t_rel, valid, n,
+                                    self.dtype)
+            inten = np.zeros(n)
+            inten[:min(len(intensity), n)] = np.nan_to_num(
+                intensity[:min(len(intensity), n)])
 
         ts_seg, accs, gyros, dts, seg_valid, n_seg = self.imu.segment(
             self.last_state_ts, t_end, self.cfg.max_imu_per_segment)

@@ -116,14 +116,13 @@ def _integrate_one(state: PreintState, acc, gyro, dt, acc_var, gyro_var,
     )
 
 
-def preintegrate(accs, gyros, dts, bg, ba, acc_var, gyro_var,
-                 int_var=1e-8, valid=None) -> PreintState:
-    """Preintegrate a padded batch of IMU samples via ``lax.scan``.
+def preintegrate_sequential(accs, gyros, dts, bg, ba, acc_var, gyro_var,
+                            int_var=1e-8, valid=None) -> PreintState:
+    """Reference implementation: preintegrate via sequential ``lax.scan``.
 
-    accs, gyros: [N,3]; dts: [N] per-sample integration intervals;
-    valid: [N] bool mask for padding (invalid rows are no-ops).
-    acc_var/gyro_var: continuous-time noise densities squared (sigma^2),
-    matching the reference's accelerometer_noise_density^2 semantics.
+    Kept as the oracle for the associative-scan version (a 256-sample
+    segment costs 256 serialized tiny steps on TPU; ``preintegrate`` runs
+    the same math in log2(N) parallel rounds).
     """
     dtype = accs.dtype
     state0 = init_preint(bg.astype(dtype), ba.astype(dtype))
@@ -140,6 +139,120 @@ def preintegrate(accs, gyros, dts, bg, ba, acc_var, gyro_var,
 
     final, _ = jax.lax.scan(step, state0, (accs, gyros, dts, valid))
     return final
+
+
+def _single_sample_elements(accs, gyros, dts, bg, ba, acc_var, gyro_var,
+                            int_var, valid):
+    """Per-sample preintegration elements (relative to each sample's own
+    start frame) — the leaves of the associative composition. Invalid
+    (padding) rows become exact identity elements."""
+    dtype = accs.dtype
+    n = accs.shape[0]
+    w = gyros - bg
+    a = accs - ba
+    dt = jnp.where(valid, dts, 0.0)[:, None]
+    dq = lie.exp_so3(w * dt)
+    dv = a * dt
+    dp = 0.5 * a * dt * dt
+    Jr = lie.right_jacobian_so3(w * dt)
+    z33 = jnp.zeros((n, 3, 3), dtype)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=dtype), (n, 3, 3))
+    dtc = dt[..., None]
+    J_dr_bg = -Jr * dtc
+    J_dv_ba = -eye * dtc
+    J_dp_ba = -0.5 * eye * dtc * dtc
+    # one-step covariance (F = I at segment start)
+    gv = gyro_var / jnp.maximum(dt[:, 0], 1e-9)
+    av = acc_var / jnp.maximum(dt[:, 0], 1e-9)
+    cov = jnp.zeros((n, 9, 9), dtype)
+    JrJrT = Jr @ jnp.swapaxes(Jr, -1, -2)
+    cov = cov.at[:, 0:3, 0:3].set(JrJrT * (gv * dt[:, 0] ** 2)[:, None, None])
+    cov = cov.at[:, 3:6, 3:6].set(eye * (av * dt[:, 0] ** 2)[:, None, None])
+    cov = cov.at[:, 3:6, 6:9].set(
+        eye * (av * 0.5 * dt[:, 0] ** 3)[:, None, None])
+    cov = cov.at[:, 6:9, 3:6].set(
+        eye * (av * 0.5 * dt[:, 0] ** 3)[:, None, None])
+    cov = cov.at[:, 6:9, 6:9].set(
+        eye * (av * 0.25 * dt[:, 0] ** 4 + int_var * dt[:, 0])[:, None, None])
+    J = jnp.concatenate([
+        jnp.concatenate([J_dr_bg, z33], axis=-1),
+        jnp.concatenate([z33, J_dv_ba], axis=-1),
+        jnp.concatenate([z33, J_dp_ba], axis=-1),
+    ], axis=-2)                                     # [n, 9, 6]
+    return dict(dq=dq, dv=dv, dp=dp, dt=dt[:, 0], J=J, cov=cov)
+
+
+def _compose(a, b):
+    """Associative composition of preintegration elements: a then b.
+
+    Error-state transition of a's errors through b (derivation: expand
+    DeltaR_a Exp(dphi_a) DeltaR_b Exp(dphi_b) etc. to first order):
+      dphi = R_b^T dphi_a + dphi_b
+      dv   = dv_a - R_a [Dv_b]x dphi_a + R_a dv_b
+      dp   = dp_a + dv_a Dt_b - R_a [Dp_b]x dphi_a + R_a dp_b
+    """
+    Ra = lie.quat_to_mat(a["dq"])
+    Rb = lie.quat_to_mat(b["dq"])
+    dtype = a["dv"].dtype
+    batch = a["dv"].shape[:-1]
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=dtype), batch + (3, 3))
+    z = jnp.zeros(batch + (3, 3), dtype)
+    RbT = jnp.swapaxes(Rb, -1, -2)
+    dtb = b["dt"][..., None, None]
+    F = jnp.concatenate([
+        jnp.concatenate([RbT, z, z], axis=-1),
+        jnp.concatenate([-Ra @ lie.hat(b["dv"]), eye, z], axis=-1),
+        jnp.concatenate([-Ra @ lie.hat(b["dp"]), eye * dtb, eye], axis=-1),
+    ], axis=-2)
+    G = jnp.concatenate([
+        jnp.concatenate([eye, z, z], axis=-1),
+        jnp.concatenate([z, Ra, z], axis=-1),
+        jnp.concatenate([z, z, Ra], axis=-1),
+    ], axis=-2)
+    Ft = jnp.swapaxes(F, -1, -2)
+    Gt = jnp.swapaxes(G, -1, -2)
+    return dict(
+        dq=lie.quat_mul(a["dq"], b["dq"]),
+        dv=a["dv"] + jnp.einsum("...ij,...j->...i", Ra, b["dv"]),
+        dp=(a["dp"] + a["dv"] * b["dt"][..., None]
+            + jnp.einsum("...ij,...j->...i", Ra, b["dp"])),
+        dt=a["dt"] + b["dt"],
+        J=F @ a["J"] + G @ b["J"],
+        cov=F @ a["cov"] @ Ft + G @ b["cov"] @ Gt,
+    )
+
+
+def preintegrate(accs, gyros, dts, bg, ba, acc_var, gyro_var,
+                 int_var=1e-8, valid=None, return_prefixes=False):
+    """Preintegrate a padded batch of IMU samples via associative scan.
+
+    Mathematically identical to ``preintegrate_sequential`` (integration
+    over concatenated intervals is associative) but runs in log2(N)
+    parallel combine rounds instead of N serialized steps — the
+    TPU-shaped formulation. With ``return_prefixes`` the cumulative
+    element after every sample is returned (leading dim N) — this is the
+    deskew pose-replay primitive.
+    """
+    dtype = accs.dtype
+    if valid is None:
+        valid = jnp.ones(accs.shape[0], bool)
+    elems = _single_sample_elements(accs, gyros, dts, bg.astype(dtype),
+                                    ba.astype(dtype), acc_var, gyro_var,
+                                    int_var, valid)
+    pref = jax.lax.associative_scan(_compose, elems)
+    J = pref["J"] if return_prefixes else pref["J"][-1]
+    out = PreintState(
+        dq=pref["dq"] if return_prefixes else pref["dq"][-1],
+        dv=pref["dv"] if return_prefixes else pref["dv"][-1],
+        dp=pref["dp"] if return_prefixes else pref["dp"][-1],
+        dt=pref["dt"] if return_prefixes else pref["dt"][-1],
+        J_dr_bg=J[..., 0:3, 0:3], J_dv_bg=J[..., 3:6, 0:3],
+        J_dv_ba=J[..., 3:6, 3:6], J_dp_bg=J[..., 6:9, 0:3],
+        J_dp_ba=J[..., 6:9, 3:6],
+        cov=pref["cov"] if return_prefixes else pref["cov"][-1],
+        bg=bg.astype(dtype), ba=ba.astype(dtype),
+    )
+    return out
 
 
 def predict(pre: PreintState, q_i, p_i, v_i, gravity):

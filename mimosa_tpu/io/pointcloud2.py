@@ -69,6 +69,12 @@ _FORMATS = [
                  "timestamp": np.float64}),
     ("internal", {"intensity": np.float32, "t": np.uint32,
                   "idx": np.uint32, "range": np.float32}),
+    # radar formats (ref include/mimosa/radar/point.hpp:16-39)
+    ("radar_rio", {"snr_db": np.float32, "noise_db": np.float32,
+                   "v_doppler_mps": np.float32}),
+    ("radar_mmwave_res", {"intensity": np.float32, "velocity": np.float32,
+                          "doppler_residual": np.float32}),
+    ("radar_mmwave", {"intensity": np.float32, "velocity": np.float32}),
 ]
 
 
@@ -135,6 +141,25 @@ def decode(data, fields, point_step, header_stamp=0.0, fmt=None):
         ring = np.full(n, -1, np.int32)
 
     return dict(points=pts, intensity=inten, t_rel=t_rel, ring=ring, fmt=fmt)
+
+
+def decode_radar(data, fields, point_step):
+    """Decode a radar cloud (rio / mmWave formats). Returns dict(points
+    [N,3], doppler [N], snr_db [N]). The rio format gets the reference's
+    axis remap x,y,z <- y,-x,z and snr as intensity
+    (ref src/radar/manager.cpp:111-134)."""
+    fmt = detect_format(fields)
+    v = structured_view(data, fields, point_step)
+    xyz = np.stack([v["x"], v["y"], v["z"]], -1).astype(np.float32)
+    if fmt == "radar_rio":
+        pts = np.stack([v["y"], -np.asarray(v["x"]), v["z"]],
+                       -1).astype(np.float32)
+        return dict(points=pts, doppler=v["v_doppler_mps"].astype(np.float64),
+                    snr_db=v["snr_db"].astype(np.float64), fmt=fmt)
+    if fmt in ("radar_mmwave", "radar_mmwave_res"):
+        return dict(points=xyz, doppler=v["velocity"].astype(np.float64),
+                    snr_db=v["intensity"].astype(np.float64), fmt=fmt)
+    raise ValueError(f"not a radar format: {fmt}")
 
 
 def point_filters(points, intensity, ring, range_min=0.2, range_max=100.0,

@@ -95,17 +95,9 @@ def replay_bag(bag_path, config_path, imu_topic, lidar_topic,
             t_end = m["stamp"] + (d["t_rel"][ok].max() if ok.any() else 0.0)
             pending.append((t_end, sc))
         elif radar_topic and topic == radar_topic:
-            d = pc2.decode(m["data"], m["fields"], m["point_step"],
-                           header_stamp=m["stamp"])
-            # doppler rides the intensity slot for formats without one;
-            # radar-specific fields (doppler/snr) are format-dependent
-            v = pc2.structured_view(m["data"], m["fields"], m["point_step"])
-            names = v.dtype.names
-            dop = np.asarray(v["doppler"]) if "doppler" in names else \
-                np.asarray(v["v_doppler_mps"]) if "v_doppler_mps" in names \
-                else d["intensity"]
-            snr = np.asarray(v["snr"]) if "snr" in names else \
-                np.asarray(v["snr_db"]) if "snr_db" in names else None
+            d = pc2.decode_radar(m["data"], m["fields"], m["point_step"])
+            dop = d["doppler"]
+            snr = d["snr_db"]
             ts_r = m["stamp"]
             if not bool(raw_cfg.get("radar", {}).get("manager", {})
                         .get("is_exposure_compensated", True)):

@@ -34,33 +34,44 @@ class DeskewResult(NamedTuple):
 
 def integrate_imu_poses(q0, p0, v0, accs, gyros, ts, bg, ba, gravity,
                         t_end):
-    """Integrate body states at each IMU sample time via lax.scan.
+    """Integrate body states at each IMU sample time — associative-scan
+    formulation (same math as the naive sequential replay, reference
+    manager.cpp:469-492 const-acc/omega-per-interval incl. gravity, but in
+    log2(M) parallel rounds: gravity-free preintegration prefixes + the
+    closed-form gravity terms).
 
     ts: [M] absolute sample times (padded tail must be >= t_end and
     monotonic); the state at ts[i] is returned for every i, integrating with
     constant (acc, gyro) over [ts[i], ts[i+1]].
     Returns (qs [M,4], ps [M,3], vs [M,3]) with state i AT time ts[i].
     """
-    accs = accs - ba
-    gyros = gyros - bg
+    from mimosa_tpu.imu import preintegration as pre
+
+    dtype = accs.dtype
     # clamp + monotonicity so padded tail samples (repeat-last convention)
-    # contribute zero integration time and the final carry is the state at
-    # exactly t_end
+    # contribute zero integration time and the final state lands at t_end
     ts = jax.lax.cummax(jnp.minimum(ts, t_end))
     dts = jnp.maximum(jnp.diff(ts, append=jnp.asarray(t_end)[None]), 0.0)
 
-    def step(carry, inp):
-        q, p, v = carry
-        acc, gyro, dt = inp
-        out = (q, p, v)  # state AT this sample time
-        a_w = lie.quat_rotate(q, acc) + gravity
-        p2 = p + v * dt + 0.5 * a_w * dt * dt
-        v2 = v + a_w * dt
-        q2 = lie.quat_mul(q, lie.exp_so3(gyro * dt))
-        return (q2, p2, v2), out
+    pref = pre.preintegrate(accs, gyros, dts, bg, ba, 0.0, 0.0, 0.0,
+                            return_prefixes=True)
+    R0 = lie.quat_to_mat(q0)
+    qid = jnp.broadcast_to(lie.quat_identity(dtype), (1, 4))
+    # state i composes samples 0..i-1 -> shift the prefixes right by one
+    dq = jnp.concatenate([qid, pref.dq[:-1]])
+    dv = jnp.concatenate([jnp.zeros((1, 3), dtype), pref.dv[:-1]])
+    dp = jnp.concatenate([jnp.zeros((1, 3), dtype), pref.dp[:-1]])
+    ti = jnp.concatenate([jnp.zeros(1, dtype), pref.dt[:-1]])[:, None]
 
-    (q_e, p_e, v_e), (qs, ps, vs) = jax.lax.scan(
-        step, (q0, p0, v0), (accs, gyros, dts))
+    qs = lie.quat_mul(jnp.broadcast_to(q0, dq.shape), dq)
+    vs = v0 + gravity * ti + dv @ R0.T
+    ps = p0 + v0 * ti + 0.5 * gravity * ti * ti + dp @ R0.T
+
+    # end state at t_end = full composition
+    tN = pref.dt[-1]
+    q_e = lie.quat_mul(q0, pref.dq[-1])
+    v_e = v0 + gravity * tN + R0 @ pref.dv[-1]
+    p_e = p0 + v0 * tN + 0.5 * gravity * tN * tN + R0 @ pref.dp[-1]
     return qs, ps, vs, (q_e, p_e, v_e)
 
 

@@ -142,3 +142,36 @@ def test_covariance_psd_and_growing():
     w = np.linalg.eigvalsh(np.asarray(st.cov))
     assert w.min() > -1e-12
     assert w.max() > 0
+
+
+def test_associative_matches_sequential():
+    """The associative-scan formulation must reproduce the sequential
+    integration (deltas, bias Jacobians, covariance) to float tolerance."""
+    d = simulate_imu(T=0.5, seed=11)
+    n = d["accs"].shape[0]
+    valid = jnp.ones(n, bool).at[-7:].set(False)  # include padding
+    args = (d["accs"], d["gyros"], d["dts"], jnp.asarray([0.001, -0.002, 0.0005]),
+            jnp.asarray([0.05, -0.03, 0.01]), 1e-3, 1e-5)
+    a = pre.preintegrate_sequential(*args, valid=valid)
+    b = pre.preintegrate(*args, valid=valid)
+    np.testing.assert_allclose(b.dq, a.dq, atol=1e-10)
+    np.testing.assert_allclose(b.dv, a.dv, atol=1e-10)
+    np.testing.assert_allclose(b.dp, a.dp, atol=1e-10)
+    np.testing.assert_allclose(float(b.dt), float(a.dt), atol=1e-12)
+    for f in ("J_dr_bg", "J_dv_bg", "J_dv_ba", "J_dp_bg", "J_dp_ba"):
+        np.testing.assert_allclose(getattr(b, f), getattr(a, f), atol=1e-8,
+                                   err_msg=f)
+    np.testing.assert_allclose(b.cov, a.cov, atol=1e-8, rtol=1e-4)
+
+
+def test_prefixes_match_incremental():
+    d = simulate_imu(T=0.2, seed=12)
+    pref = pre.preintegrate(d["accs"], d["gyros"], d["dts"], jnp.zeros(3),
+                            jnp.zeros(3), 1e-4, 1e-5, return_prefixes=True)
+    # prefix k == sequential integration of the first k+1 samples
+    for k in (0, 7, 19, d["accs"].shape[0] - 1):
+        s = pre.preintegrate_sequential(
+            d["accs"][:k + 1], d["gyros"][:k + 1], d["dts"][:k + 1],
+            jnp.zeros(3), jnp.zeros(3), 1e-4, 1e-5)
+        np.testing.assert_allclose(pref.dp[k], s.dp, atol=1e-10)
+        np.testing.assert_allclose(pref.dq[k], s.dq, atol=1e-10)
