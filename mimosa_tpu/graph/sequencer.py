@@ -666,6 +666,7 @@ def _scan_step(window, vmap, preints, fv, scan_f, pt_valid,
         def linearize_fn(vmap_, pts_, valid_, q_, t_, g_dir_):
             return geo.linearize(vmap_, pts_, valid_, q_, t_, map_cfg,
                                  geo_cfg, g_dir=g_dir_)
+        linearize_fn._is_default = True
     if map_update_fn is None:
         def map_update_fn(vmap_, pts_, valid_, idx_):
             vmap_ = vh.insert(vmap_, pts_, valid_, idx_, map_cfg)
@@ -739,12 +740,25 @@ def _scan_step(window, vmap, preints, fv, scan_f, pt_valid,
             bb = proj @ bb
         return Hb, bb, pr
 
-    # 5) GN iterations with live ICP (+photometric) relinearization
+    # 5) GN iterations with live ICP (+photometric) relinearization.
+    # Single-device path: associate correspondences ONCE at the predicted
+    # pose and relinearize against them (ref correspondence cache,
+    # geometric_factor.hpp:280-317); the final absorb below re-associates.
+    if linearize_fn is None or getattr(linearize_fn, "_is_default", False):
+        matches = geo.match(vmap, pts_geo, window.q[slot], window.p[slot],
+                            map_cfg)
+
+        def lin_iter(q_, t_, g_):
+            return geo.linearize_with(matches, pts_geo, geo_valid, q_, t_,
+                                      geo_cfg, g_dir=g_)
+    else:
+        def lin_iter(q_, t_, g_):
+            return linearize_fn(vmap, pts_geo, geo_valid, q_, t_, g_)
+
     icp = None
     pr = None
     for _ in range(seq_cfg.n_gn_iters):
-        icp = linearize_fn(vmap, pts_geo, geo_valid, window.q[slot],
-                           window.p[slot], window.g_dir)
+        icp = lin_iter(window.q[slot], window.p[slot], window.g_dir)
         meas = [(win.pose_idx(slot), icp.H, icp.b)]
         if photo_cfg is not None:
             Hb, bb, pr = photo_block(icp)

@@ -240,36 +240,46 @@ def build_system(w: Window, preints: pre.PreintState, factor_valid,
     H += w.H_prior
     rhs -= w.H_prior @ d0 + w.b_prior
 
-    # IMU preintegration factors
+    # IMU preintegration factors — one batched scatter-add over all K-1
+    # factor blocks (duplicate indices, e.g. the shared gravity dims,
+    # accumulate correctly)
     J, r = _imu_factor_blocks(w, preints, cfg)
     fv = factor_valid.astype(dtype)
     Hf = jnp.einsum("kai,kaj,k->kij", J, J, fv)   # [K-1,26,26]
     bf = jnp.einsum("kai,ka,k->ki", J, r, fv)     # [K-1,26]
     gi = K * SD
-    for i in range(K - 1):
-        idx = jnp.concatenate([
-            jnp.arange(i * SD, i * SD + 9),
-            jnp.arange((i + 1) * SD, (i + 1) * SD + 9),
-            jnp.arange(i * SD + 9, i * SD + 15),
-            jnp.arange(gi, gi + 2),
-        ])
-        H = H.at[idx[:, None], idx[None, :]].add(Hf[i])
-        rhs = rhs.at[idx].add(-bf[i])
+    IDX = jnp.asarray([
+        list(range(i * SD, i * SD + 9))
+        + list(range((i + 1) * SD, (i + 1) * SD + 9))
+        + list(range(i * SD + 9, i * SD + 15))
+        + list(range(gi, gi + 2))
+        for i in range(K - 1)
+    ], jnp.int32)                                  # [K-1,26] static
+    H = H.at[IDX[:, :, None], IDX[:, None, :]].add(Hf)
+    rhs = rhs.at[IDX].add(-bf)
 
-    # bias random walk between factors
+    # bias random walk between factors, batched: block [[W,-W],[-W,W]] on
+    # the 12 bias dims of each consecutive pair
     r_bg, r_ba, sg, sa = _bias_rw_blocks(w, preints, cfg)
-    for i in range(K - 1):
-        wg = fv[i] / (sg[i] ** 2)
-        wa = fv[i] / (sa[i] ** 2)
-        for off, wgt, rr in ((9, wg, r_bg[i] * sg[i]), (12, wa, r_ba[i] * sa[i])):
-            ii = jnp.arange(i * SD + off, i * SD + off + 3)
-            jj = jnp.arange((i + 1) * SD + off, (i + 1) * SD + off + 3)
-            H = H.at[ii[:, None], ii[None, :]].add(jnp.eye(3, dtype=dtype) * wgt)
-            H = H.at[jj[:, None], jj[None, :]].add(jnp.eye(3, dtype=dtype) * wgt)
-            H = H.at[ii[:, None], jj[None, :]].add(-jnp.eye(3, dtype=dtype) * wgt)
-            H = H.at[jj[:, None], ii[None, :]].add(-jnp.eye(3, dtype=dtype) * wgt)
-            rhs = rhs.at[ii].add(wgt * rr)
-            rhs = rhs.at[jj].add(-wgt * rr)
+    wg = fv / (sg ** 2)                            # [K-1]
+    wa = fv / (sa ** 2)
+    Wd = jnp.concatenate([jnp.tile(wg[:, None], (1, 3)),
+                          jnp.tile(wa[:, None], (1, 3))], axis=1)  # [K-1,6]
+    Wm = jax.vmap(jnp.diag)(Wd)                    # [K-1,6,6]
+    Hb = jnp.concatenate([
+        jnp.concatenate([Wm, -Wm], axis=2),
+        jnp.concatenate([-Wm, Wm], axis=2),
+    ], axis=1)                                     # [K-1,12,12]
+    rr = jnp.concatenate([r_bg * sg[:, None], r_ba * sa[:, None]],
+                         axis=1)                   # [K-1,6] unwhitened
+    bb = jnp.concatenate([Wd * rr, -(Wd * rr)], axis=1)   # [K-1,12]
+    BIDX = jnp.asarray([
+        list(range(i * SD + 9, i * SD + 15))
+        + list(range((i + 1) * SD + 9, (i + 1) * SD + 15))
+        for i in range(K - 1)
+    ], jnp.int32)                                  # [K-1,12]
+    H = H.at[BIDX[:, :, None], BIDX[:, None, :]].add(Hb)
+    rhs = rhs.at[BIDX].add(bb)
 
     # live measurement blocks (ICP etc.): H dx = -b convention
     for idx, Hm, bm in meas:

@@ -164,11 +164,15 @@ def decode_radar(data, fields, point_step):
 
 def point_filters(points, intensity, ring, range_min=0.2, range_max=100.0,
                   intensity_min=0.0, intensity_max=1e10, point_skip=1,
-                  ring_skip=1, t_rel=None, t_rel_max=None):
+                  ring_skip=1, t_rel=None, t_rel_max=None, livox_tag=None):
     """Per-point validity chain (ref lidar/manager.cpp:244-335): finite,
-    range window, intensity window, index/ring skip divisors."""
+    range window, intensity window, index/ring skip divisors, and the
+    Livox tag gate ``(tag & 0x30) in {0x00, 0x10}`` when tags are given."""
     n = len(points)
     finite = np.isfinite(points).all(-1)
+    if livox_tag is not None:
+        t30 = np.asarray(livox_tag).astype(np.int32) & 0x30
+        finite = finite & ((t30 == 0x10) | (t30 == 0x00))
     rng = np.linalg.norm(np.nan_to_num(points), axis=-1)
     ok = (finite & (rng >= range_min) & (rng <= range_max)
           & (intensity >= intensity_min) & (intensity <= intensity_max))

@@ -71,25 +71,28 @@ class ICPResult(NamedTuple):
     degenerate_trans: jnp.ndarray  # [3]
 
 
-def linearize(vmap_: vh.VoxelMap, points_b, valid, q, t,
-              map_cfg: vh.VoxelMapConfig, cfg: GeometricConfig,
-              g_dir=None) -> ICPResult:
-    """One ICP linearization of the unary scan-to-map factor.
+def match(vmap_: vh.VoxelMap, points_b, q, t, map_cfg: vh.VoxelMapConfig):
+    """Correspondence search: per-point nearest valid plane at pose (q, t).
+    Returns (normal [N,3], mean [N,3], found [N]).
 
-    points_b: [N,3] downsampled scan points in **body** frame (already
-    deskewed and transformed by T_B_L, ref geometric.cpp:128-183).
-    (q, t): current body->world pose estimate. g_dir: unit gravity direction
-    in world (needed only for 4-DoF mode).
+    Splitting this out lets the GN loop reuse correspondences across
+    iterations — the TPU analogue of the reference's correspondence cache
+    (geometric_factor.hpp:280-317 re-searches only points that moved more
+    than min_dist_in_voxel/4; pose updates within one scan's GN are
+    millimetric, so a single association per scan is the same trade)."""
+    R = lie.quat_to_mat(q)
+    p_w = points_b @ R.T + t
+    return vh.query_planes(vmap_, p_w, map_cfg)
 
-    Tangent convention matches se3_retract: xi = [dR, dt] with
-    p_W = R Exp(dR) (p_B) + t + R dt, so
-      dr/d(dR) = -n^T R [p_B]x,   dr/d(dt) = n^T R.
-    """
+
+def linearize_with(matches, points_b, valid, q, t, cfg: GeometricConfig,
+                   g_dir=None) -> ICPResult:
+    """ICP linearization against fixed correspondences ``matches`` =
+    (normal, mean, found) from :func:`match`."""
     dtype = points_b.dtype
     R = lie.quat_to_mat(q)
     p_w = points_b @ R.T + t
-
-    normal, mean, found = vh.query_planes(vmap_, p_w, map_cfg)
+    normal, mean, found = matches
     r = jnp.sum(normal * (p_w - mean), axis=-1)
 
     # gates
@@ -152,6 +155,25 @@ def linearize(vmap_: vh.VoxelMap, points_b, valid, q, t,
 
     return ICPResult(H, b, counts[0], counts, mean_abs,
                      cnt_r, cnt_t, lam_r, lam_t, V_r, V_t, degen_r, degen_t)
+
+
+def linearize(vmap_: vh.VoxelMap, points_b, valid, q, t,
+              map_cfg: vh.VoxelMapConfig, cfg: GeometricConfig,
+              g_dir=None) -> ICPResult:
+    """One ICP linearization of the unary scan-to-map factor: fresh
+    correspondence search + linearization (match + linearize_with).
+
+    points_b: [N,3] downsampled scan points in **body** frame (already
+    deskewed and transformed by T_B_L, ref geometric.cpp:128-183).
+    (q, t): current body->world pose estimate. g_dir: unit gravity direction
+    in world (needed only for 4-DoF mode).
+
+    Tangent convention matches se3_retract: xi = [dR, dt] with
+    p_W = R Exp(dR) (p_B) + t + R dt, so
+      dr/d(dR) = -n^T R [p_B]x,   dr/d(dt) = n^T R.
+    """
+    m = match(vmap_, points_b, q, t, map_cfg)
+    return linearize_with(m, points_b, valid, q, t, cfg, g_dir=g_dir)
 
 
 def degenerate_selector(res: ICPResult, dtype=None):

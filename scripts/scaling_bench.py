@@ -1,0 +1,92 @@
+"""Mesh-scaling benchmark of the sharded ICP linearization.
+
+Measures the sharded correspondence+linearize kernel (points over 'dp',
+map voxel blocks over 'mp') at increasing device counts and reports
+scaling efficiency — the BASELINE.md ">= 0.8 efficiency at >= 2 hosts"
+metric. On this dev machine only virtual CPU devices are available
+(XLA_FLAGS=--xla_force_host_platform_device_count=N); on a pod slice the
+same script runs over real chips with collectives on ICI.
+
+Usage: XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+       JAX_PLATFORMS=cpu python scripts/scaling_bench.py
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mimosa_tpu.core import lie
+    from mimosa_tpu.lidar import geometric as geo
+    from mimosa_tpu.mapping import voxel_hash as vh
+    from mimosa_tpu.parallel import sharded as par
+
+    n_dev = len(jax.devices())
+    N = 65536                     # points per linearize
+    map_cfg = vh.VoxelMapConfig(leaf_size=0.4, capacity_log2=16,
+                                plane_min_points=5)
+    geo_cfg = geo.GeometricConfig(loc_count_thresh=50.0)
+
+    rng = np.random.default_rng(0)
+    world = []
+    for axis, val in [(2, 0.0), (2, 3.0), (0, 0.0), (0, 30.0), (1, 0.0),
+                      (1, 20.0)]:
+        p = rng.uniform(0.2, 20.0, size=(60000, 3))
+        p[:, 2] = np.clip(p[:, 2], 0.2, 2.8)
+        p[:, axis] = val + rng.normal(size=60000) * 0.003
+        world.append(p)
+    world = np.concatenate(world).astype(np.float32)
+    idx = rng.choice(len(world), N, replace=False)
+    q = lie.exp_so3(jnp.asarray([0.02, -0.03, 0.4], jnp.float32))
+    t = jnp.asarray([10.0, 5.0, 1.4], jnp.float32)
+    qi, ti = lie.se3_inverse(q, t)
+    pts_b = lie.se3_transform(qi, ti, jnp.asarray(world[idx])).astype(
+        jnp.float32)
+    valid = jnp.ones(N, bool)
+    g = jnp.asarray([0, 0, -1.0], jnp.float32)
+
+    results = {}
+    base = None
+    for n in [1, 2, 4, 8]:
+        if n > n_dev:
+            break
+        mesh = par.make_mesh(n, n_mp=2 if n >= 4 else 1)
+        ms = par.create_sharded_map(map_cfg, mesh)
+        ms = par.sharded_insert(ms, jnp.asarray(world),
+                                jnp.ones(len(world), bool),
+                                jnp.asarray(0, jnp.int32), map_cfg, mesh)
+        f = jax.jit(lambda m, p: par.sharded_linearize(
+            m, p, valid, q, t, g, map_cfg, geo_cfg, mesh))
+        out = f(ms, pts_b)
+        jax.block_until_ready(out)
+        t0 = time.time()
+        reps = 20
+        for _ in range(reps):
+            out = f(ms, pts_b)
+        jax.block_until_ready(out)
+        dt = (time.time() - t0) / reps * 1000
+        thr = N / dt * 1000 / 1e6
+        if base is None:
+            base = dt
+        eff = base / dt / n
+        results[n] = dict(ms=round(dt, 2), mpts_s=round(thr, 2),
+                          speedup=round(base / dt, 2),
+                          efficiency=round(eff, 3),
+                          inliers=int(out.num_inlier))
+        print(f"devices={n:2d} mesh=({mesh.shape['dp']}x{mesh.shape['mp']}) "
+              f"{dt:7.2f} ms  {thr:6.2f} Mpts/s  speedup {base / dt:5.2f}  "
+              f"eff {eff:5.2f}", flush=True)
+    print(json.dumps({"metric": "sharded_icp_scaling", "results": results}))
+
+
+if __name__ == "__main__":
+    main()
