@@ -27,6 +27,50 @@ from mimosa_tpu.odometry.factor import OdometryConfig
 from mimosa_tpu.radar.factor import RadarConfig
 
 
+class ConfigError(ValueError):
+    pass
+
+
+def check_valid(cs: "ConfigSet"):
+    """Startup validation mirroring the reference's config_utilities
+    ``checkValid`` clauses (e.g. geometric_config.cpp:84-89,
+    manager.cpp:645-650): fail fast on inconsistent parameters."""
+    errs = []
+
+    def chk(cond, msg):
+        if not cond:
+            errs.append(msg)
+
+    s = cs.sequencer
+    chk(s.geo_leaf > 0, "geo_leaf must be > 0")
+    chk(s.map_insert_leaf > 0, "map_insert_leaf must be > 0")
+    chk(s.n_gn_iters >= 1, "n_gn_iters must be >= 1")
+    chk(s.pose_init_wait_secs > 0, "pose_init_wait_secs must be > 0")
+    chk(s.max_scan_points > 0, "max_scan_points must be > 0")
+    chk(s.n_geo_points <= s.max_scan_points,
+        "n_geo_points must be <= max_scan_points")
+    chk(s.point_skip >= 1, "point_skip must be >= 1")
+    chk(abs(sum(x * x for x in s.q_b_l) - 1.0) < 1e-3,
+        "q_b_l must be a unit quaternion")
+    m = cs.voxel_map
+    chk(m.neighbor_voxel_mode in (1, 7, 19, 27),
+        "neighbor_voxel_mode must be 1/7/19/27")
+    chk(m.plane_min_points >= 3, "plane_min_points must be >= 3")
+    chk(m.plane_max_thickness > 0, "plane_max_thickness must be > 0")
+    g = cs.geometric
+    chk(g.sigma > 0, "geometric sigma must be > 0")
+    chk(g.max_p2p_dist > 0, "max_corres_distance must be > 0")
+    w = cs.window
+    chk(w.K >= 2, "window K must be >= 2")
+    chk(w.g_mag > 9.0 and w.g_mag < 10.5, "gravity magnitude implausible")
+    r = cs.radar
+    chk(r.sigma > 0, "radar noise_sigma must be > 0")
+    chk(r.max_range > r.min_range, "radar range_max must exceed range_min")
+    if errs:
+        raise ConfigError("invalid configuration:\n  " + "\n  ".join(errs))
+    return cs
+
+
 @dataclasses.dataclass(frozen=True)
 class ConfigSet:
     sequencer: SequencerConfig
@@ -246,10 +290,10 @@ def from_reference_dict(raw: dict, declare_rate_hz=10.0,
     seq_kwargs.update(seq_overrides)
     sequencer = SequencerConfig(**seq_kwargs)
 
-    return ConfigSet(
+    return check_valid(ConfigSet(
         sequencer=sequencer, window=window, voxel_map=voxel_map,
         geometric=geometric, radar=radar, odometry=odometry, raw=raw,
         lidar_enabled=bool(g("lidar/manager/enabled", True)),
         radar_enabled=bool(g("radar/manager/enabled", False)),
         odometry_enabled=bool(g("odometry/manager/enabled", False)),
-    )
+    ))

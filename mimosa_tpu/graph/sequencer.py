@@ -142,11 +142,6 @@ class Sequencer:
 
         # window/preints are ~100 KB — not worth donating (and create()
         # aliases zero-buffers across fields); the map is the big buffer.
-        self._jit_scan_step = jax.jit(
-            functools.partial(_scan_step, seq_cfg=seq_cfg, win_cfg=win_cfg,
-                              map_cfg=map_cfg, geo_cfg=geo_cfg,
-                              photo_cfg=photo_cfg),
-        )
         self._jit_marginalize = jax.jit(
             functools.partial(_marginalize, win_cfg=win_cfg),
         )
@@ -161,6 +156,16 @@ class Sequencer:
             lambda tq, tp, i, q, p: (tq.at[i].set(q), tp.at[i].set(p)),
             donate_argnums=(0, 1))
         self._step_cache = {}
+
+    def _get_scan_step(self, marginalize_first: bool):
+        key = ("scan", marginalize_first)
+        if key not in self._step_cache:
+            self._step_cache[key] = jax.jit(functools.partial(
+                _scan_step, seq_cfg=self.cfg, win_cfg=self.win_cfg,
+                map_cfg=self.map_cfg, geo_cfg=self.geo_cfg,
+                photo_cfg=self.photo_cfg,
+                marginalize_first=marginalize_first))
+        return self._step_cache[key]
 
     # ------------------------------------------------------- logged outputs
     @property
@@ -523,13 +528,21 @@ class Sequencer:
         ts_seg = ts_seg - base
         t_end_rel = t_end - base
 
+        # marginalize as a SEPARATE async dispatch: the device slides the
+        # window while the host pads/quantizes the scan (overlap) — merging
+        # it into the scan step measured slower
         if self.n_active == self.win_cfg.K:
             self._marginalize_host()
 
-        # pack per-scan inputs to minimize H2D transfers; optional int16
-        # quantization halves the bytes again (sentinel t = -32768 marks
-        # invalid lanes, so the validity mask costs nothing)
-        imu_f = np.concatenate([accs, gyros, dts[:, None]], axis=1)
+        # pack per-scan inputs to minimize H2D transfers (each transfer is
+        # an RPC on a tunneled device); optional int16 quantization halves
+        # the bytes again (sentinel t = -32768 marks invalid lanes, so the
+        # validity mask costs nothing)
+        imu_f = np.concatenate([accs, gyros, dts[:, None],
+                                seg_valid[:, None].astype(np.float64)],
+                               axis=1)
+        scalars = np.asarray([self.n_active, t_end_rel,
+                              len(self._traj_ts), self.scan_idx])
         if self.cfg.quantize_transfer:
             c = self.cfg
             scan_q = np.empty((n, 5), np.int16)
@@ -549,18 +562,17 @@ class Sequencer:
                 self.dtype)
             valid_dev = jnp.asarray(vd)
 
+        step = self._get_scan_step(False)
         (self.window, self.vmap, self.preints, self.fv, self.features,
          self.kf_q, self.kf_p, self.kf_count, self.traj_q, self.traj_p,
-         self.debug_rec) = self._jit_scan_step(
+         self.debug_rec) = step(
             self.window, self.vmap, self.preints, self.fv,
             scan_dev, valid_dev,
-            jnp.asarray(imu_f, self.dtype), jnp.asarray(seg_valid),
-            jnp.asarray(self.n_active, jnp.int32),
-            jnp.asarray(t_end_rel, self.dtype),
+            jnp.asarray(imu_f, self.dtype),
+            jnp.asarray(scalars, self.dtype),
             self.kf_q, self.kf_p, self.kf_count,
             self.traj_q, self.traj_p,
-            jnp.asarray(len(self._traj_ts), jnp.int32),
-            self.debug_rec, jnp.asarray(self.scan_idx, jnp.int32),
+            self.debug_rec,
             self.features,
         )
         self.n_active += 1
@@ -640,11 +652,12 @@ def _set_segment(preints, i, seg):
 
 
 def _scan_step(window, vmap, preints, fv, scan_f, pt_valid,
-               imu_f, seg_valid, n_active, t_end,
-               kf_q, kf_p, kf_count, traj_q, traj_p, traj_idx,
-               debug_rec, scan_idx, features=None,
+               imu_f, scalars,
+               kf_q, kf_p, kf_count, traj_q, traj_p,
+               debug_rec, features=None,
                *, seq_cfg, win_cfg, map_cfg, geo_cfg, photo_cfg=None,
-               linearize_fn=None, map_update_fn=None):
+               linearize_fn=None, map_update_fn=None,
+               marginalize_first=False):
     """The whole per-scan pipeline as one XLA program — deskew, downsample,
     predict/append, GN with live relinearization, prior absorption,
     device-side keyframe decision + map update + trajectory/debug logging.
@@ -673,6 +686,18 @@ def _scan_step(window, vmap, preints, fv, scan_f, pt_valid,
             vmap_ = vh.evict_stale(vmap_, idx_, map_cfg)
             return vh.update_planes(vmap_, map_cfg)
     d = window.p.dtype
+    # unpack the scalar block (transferred as one tiny f32 vector)
+    n_active = scalars[0].astype(jnp.int32)
+    t_end = scalars[1]
+    traj_idx = scalars[2].astype(jnp.int32)
+    scan_idx = scalars[3].astype(jnp.int32)
+
+    if marginalize_first:
+        window = win.marginalize_oldest(window, preints, win_cfg)
+        preints = jax.tree_util.tree_map(
+            lambda a: jnp.concatenate([a[1:], a[-1:]], axis=0), preints)
+        fv = jnp.concatenate([fv[1:], jnp.zeros(1, bool)])
+
     if seq_cfg.quantize_transfer:
         # int16 dequantization; sentinel t == -32768 encodes invalid lanes
         pts = scan_f[:, :3].astype(d) * seq_cfg.quant_pos_res
@@ -686,6 +711,7 @@ def _scan_step(window, vmap, preints, fv, scan_f, pt_valid,
     accs = imu_f[:, 0:3]
     gyros = imu_f[:, 3:6]
     dts = imu_f[:, 6]
+    seg_valid = imu_f[:, 7] > 0.5
     imu_ts = jnp.concatenate([jnp.zeros(1, d), jnp.cumsum(dts)[:-1]])
 
     last = n_active - 1

@@ -303,6 +303,35 @@ def residual(pre: PreintState, q_i, p_i, v_i, q_j, p_j, v_j, bg, ba, g_dir,
     return jnp.concatenate([r_dR, r_dv, r_dp])
 
 
+def localizability(pre: PreintState, q_i, p_i, v_i, q_j, p_j, v_j, bg, ba,
+                   g_dir, g_mag):
+    """Eigen-analysis of the whitened IMU-factor Hessian blocks — the
+    reference's IMU localizability diagnostic (imu/manager.cpp:436-482):
+    eigenvalues of the 9x9 information over the *second* state's
+    (rot, vel, pos) tangent, ascending, plus eigenvectors.
+    """
+    import jax
+
+    from mimosa_tpu.core.eigh3 import eigh3
+
+    f = make_residual_fn(g_mag)
+    dtype = p_i.dtype
+    z9 = jnp.zeros(9, dtype)
+    z6 = jnp.zeros(6, dtype)
+    z2 = jnp.zeros(2, dtype)
+    lin = (q_i, p_i, v_i, q_j, p_j, v_j, bg, ba, g_dir)
+    Jj = jax.jacfwd(f, argnums=1)(z9, z9, z6, z2, pre, lin)
+    cov = pre.cov + jnp.eye(9, dtype=dtype) * 1e-10
+    L = jnp.linalg.cholesky(cov)
+    Jw = jax.scipy.linalg.solve_triangular(L, Jj, lower=True)
+    H = Jw.T @ Jw
+    lam_r, V_r = eigh3(H[0:3, 0:3])
+    lam_p, V_p = eigh3(H[3:6, 3:6])
+    lam_v, V_v = eigh3(H[6:9, 6:9])
+    return dict(eig_rot=lam_r, vec_rot=V_r, eig_pos=lam_p, vec_pos=V_p,
+                eig_vel=lam_v, vec_vel=V_v, H=H)
+
+
 def make_residual_fn(g_mag):
     """Residual as a function of tangent perturbations, for autodiff Jacobians.
 

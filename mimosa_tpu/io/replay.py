@@ -63,8 +63,13 @@ def replay_bag(bag_path, config_path, imu_topic, lidar_topic,
                       .get("ring_skip_divisor", 1)),
     )
 
-    bag = Bag(bag_path)
-    msgs = bag.read_sorted(topics)
+    import glob as _glob
+    bag_files = sorted(_glob.glob(bag_path)) if any(
+        c in bag_path for c in "*?[") else [bag_path]
+    msgs = []
+    for bf in bag_files:
+        msgs.extend(Bag(bf).messages(topics))
+    msgs.sort(key=lambda m: m[2])
     if not msgs:
         raise ValueError(f"no messages on {topics} in {bag_path}")
     t0 = msgs[0][2] + start_offset

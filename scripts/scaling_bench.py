@@ -3,12 +3,17 @@
 Measures the sharded correspondence+linearize kernel (points over 'dp',
 map voxel blocks over 'mp') at increasing device counts and reports
 scaling efficiency — the BASELINE.md ">= 0.8 efficiency at >= 2 hosts"
-metric. On this dev machine only virtual CPU devices are available
-(XLA_FLAGS=--xla_force_host_platform_device_count=N); on a pod slice the
-same script runs over real chips with collectives on ICI.
+metric.
 
-Usage: XLA_FLAGS=--xla_force_host_platform_device_count=8 \
-       JAX_PLATFORMS=cpu python scripts/scaling_bench.py
+CAVEAT on this dev machine: only VIRTUAL CPU devices exist
+(xla_force_host_platform_device_count), which timeshare the same physical
+cores — the efficiency numbers are lower bounds that mostly validate
+CORRECTNESS of the sharded path, not real scaling. On a pod slice the same
+script runs over real chips with collectives on ICI and measures true
+efficiency. When the map fits one chip's HBM, prefer n_mp=1 (map
+replicated): the mp cross-shard plane combine costs per-point psums.
+
+Usage: python scripts/scaling_bench.py
 """
 
 import json
@@ -20,8 +25,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
+    # force a virtual CPU mesh: the container sitecustomize pins
+    # jax_platforms to the (single) tunneled TPU otherwise
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
     import jax
 
+    jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import numpy as np
 
