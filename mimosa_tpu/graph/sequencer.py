@@ -781,6 +781,10 @@ def _scan_step(window, vmap, preints, fv, scan_f, pt_valid,
         def lin_iter(q_, t_, g_):
             return linearize_fn(vmap, pts_geo, geo_valid, q_, t_, g_)
 
+    # IMU-factor Jacobians vary at second order within one scan's GN
+    # updates — compute once, refresh residuals only (like the reference's
+    # cached linearized factors, graph/manager.cpp cache_linearized_factors)
+    imu_cache = win.imu_factor_cache(window, preints, win_cfg)
     icp = None
     pr = None
     for _ in range(seq_cfg.n_gn_iters):
@@ -789,7 +793,8 @@ def _scan_step(window, vmap, preints, fv, scan_f, pt_valid,
         if photo_cfg is not None:
             Hb, bb, pr = photo_block(icp)
             meas.append((win.pose_idx(slot), Hb, bb))
-        H, rhs = win.build_system(window, preints, fv, win_cfg, meas=meas)
+        H, rhs = win.build_system(window, preints, fv, win_cfg, meas=meas,
+                                  imu_cache=imu_cache)
         dx = win.solve(H, rhs)
         window = win.apply_update(window, dx, win_cfg)
 
@@ -805,11 +810,18 @@ def _scan_step(window, vmap, preints, fv, scan_f, pt_valid,
         Hb, bb, pr = photo_block(icp)
         window = win.add_measurement_block(window, win.pose_idx(slot), Hb,
                                            bb, win_cfg)
-        # feature lifecycle + top-up at the converged pose
+        # feature lifecycle + top-up at the converged pose, steering new
+        # features along geometric-degenerate directions
+        # (ref photometric.cpp:566-644 + manager.cpp:568-581)
         features = ph.update_lifecycle(features, pr.tracked, photo_cfg)
         q_wl, t_wl = lie.se3_compose(window.q[slot], window.p[slot],
                                      q_bl, t_bl)
-        features = ph.detect_features(frame, features, q_wl, t_wl, photo_cfg)
+        q_lb = lie.quat_conj(q_bl)
+        dirs_b = icp.eigvecs_trans.T          # rows = body-frame directions
+        dirs_l = lie.quat_rotate(jnp.broadcast_to(q_lb, (3, 4)), dirs_b)
+        features = ph.detect_features(frame, features, q_wl, t_wl, photo_cfg,
+                                      degen_dirs=(dirs_l,
+                                                  icp.degenerate_trans))
         photo_out = (pr.num_tracked, pr.status_counts)
 
     # 7) device-side keyframe decision (ref geometric.cpp:440-478) + map

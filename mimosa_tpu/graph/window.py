@@ -211,6 +211,36 @@ def _imu_factor_blocks(w: Window, preints: pre.PreintState, cfg: WindowConfig):
     return J, r
 
 
+def imu_factor_cache(w: Window, preints: pre.PreintState, cfg: WindowConfig):
+    """(J_w [K-1,9,26], L [K-1,9,9]) — whitened Jacobians + covariance
+    Cholesky factors computed once per scan and reused across GN iterations
+    via ``build_system(..., imu_cache=...)``."""
+    J, _ = _imu_factor_blocks(w, preints, cfg)
+    cov = preints.cov + jnp.eye(9, dtype=w.p.dtype) * 1e-10
+    L = jnp.linalg.cholesky(cov)
+    return J, L
+
+
+def imu_residuals_whitened(w: Window, preints: pre.PreintState, L,
+                           cfg: WindowConfig):
+    """Whitened IMU residuals at current values using a fixed Cholesky
+    factor ``L`` [K-1,9,9] — the residual-only refresh used when Jacobians
+    are reused across GN iterations (they vary at second order within one
+    scan's updates)."""
+    f = pre.make_residual_fn(cfg.g_mag)
+    z9 = jnp.zeros(9, w.p.dtype)
+    z6 = jnp.zeros(6, w.p.dtype)
+    z2 = jnp.zeros(2, w.p.dtype)
+
+    def one(pre_i, L_i, q_i, p_i, v_i, bg_i, ba_i, q_j, p_j, v_j):
+        lin = (q_i, p_i, v_i, q_j, p_j, v_j, bg_i, ba_i, w.g_dir)
+        r = f(z9, z9, z6, z2, pre_i, lin)
+        return jax.scipy.linalg.solve_triangular(L_i, r, lower=True)
+
+    return jax.vmap(one)(preints, L, w.q[:-1], w.p[:-1], w.v[:-1],
+                         w.bg[:-1], w.ba[:-1], w.q[1:], w.p[1:], w.v[1:])
+
+
 def _bias_rw_blocks(w: Window, preints: pre.PreintState, cfg: WindowConfig):
     """Bias random-walk between factors, whitened: r = (b_j - b_i)/(sigma*sqrt(dt))."""
     dt = jnp.maximum(preints.dt, 1e-3)
@@ -222,7 +252,7 @@ def _bias_rw_blocks(w: Window, preints: pre.PreintState, cfg: WindowConfig):
 
 
 def build_system(w: Window, preints: pre.PreintState, factor_valid,
-                 cfg: WindowConfig, meas=()):
+                 cfg: WindowConfig, meas=(), imu_cache=None):
     """Assemble normal equations H dx = rhs over the full window tangent.
 
     factor_valid: [K-1] bool, IMU factor between slot i and i+1 active.
@@ -242,8 +272,13 @@ def build_system(w: Window, preints: pre.PreintState, factor_valid,
 
     # IMU preintegration factors — one batched scatter-add over all K-1
     # factor blocks (duplicate indices, e.g. the shared gravity dims,
-    # accumulate correctly)
-    J, r = _imu_factor_blocks(w, preints, cfg)
+    # accumulate correctly). ``imu_cache=(J_w, L)`` reuses Jacobians across
+    # GN iterations (second-order-stable) and refreshes residuals only.
+    if imu_cache is not None:
+        J, L = imu_cache
+        r = imu_residuals_whitened(w, preints, L, cfg)
+    else:
+        J, r = _imu_factor_blocks(w, preints, cfg)
     fv = factor_valid.astype(dtype)
     Hf = jnp.einsum("kai,kaj,k->kij", J, J, fv)   # [K-1,26,26]
     bf = jnp.einsum("kai,ka,k->ki", J, r, fv)     # [K-1,26]

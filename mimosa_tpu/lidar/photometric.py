@@ -322,9 +322,32 @@ def detect_features(frame: Frame, feats: Features, q_wl, t_wl,
 
     score = jnp.where(cand, gmag, -1.0)
     if degen_dirs is not None:
-        # boost candidates whose patch gradient direction projects onto the
-        # degenerate directions (approximation of the ref round-robin)
-        pass
+        # Degeneracy-aware scoring (ref photometric.cpp:566-644): boost
+        # candidates whose image motion under sensor translation along a
+        # geometric-degenerate direction aligns with their gradient —
+        # score_d = |grad . (duv/dp @ R_lw d)|. The reference's strict
+        # per-direction round-robin becomes a multiplicative boost.
+        dirs_l, mask_d = degen_dirs          # [D,3] lidar frame, [D] bool
+        rng_img = jnp.maximum(frame.rng, 1e-3)
+        rows_f = rows.astype(frame.intensity.dtype)
+        cols_f = cols.astype(frame.intensity.dtype)
+        pts_pix = backproject(rows_f, cols_f, rng_img, cfg)   # [R,C,3]
+
+        def uv_of(p):
+            u, v, _, _ = project(p, cfg)
+            return jnp.stack([u, v], axis=-1)
+
+        # finite-difference projection Jacobian along each direction
+        eps = jnp.asarray(0.05, frame.intensity.dtype)
+        boost = jnp.zeros_like(gmag)
+        for di in range(dirs_l.shape[0]):
+            duv = (uv_of(pts_pix + eps * dirs_l[di]) - uv_of(pts_pix)) / eps
+            s_d = jnp.abs(frame.gy * duv[..., 0] + frame.gx * duv[..., 1])
+            boost = boost + jnp.where(mask_d[di], s_d, 0.0)
+        # when any direction is degenerate, rank BY the alignment score
+        # (exactly the reference's criterion); otherwise plain gradient
+        any_deg = jnp.any(mask_d)
+        score = jnp.where(cand, jnp.where(any_deg, boost, gmag), -1.0)
     flat_score, flat_idx = jax.lax.top_k(score.reshape(-1), cfg.num_features)
     cu = flat_idx // C
     cv = flat_idx % C

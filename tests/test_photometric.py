@@ -128,3 +128,33 @@ def test_lifecycle():
     feats2 = feats._replace(life=feats.life.at[0].set(CFG.max_feature_life))
     out2 = ph.update_lifecycle(feats2, jnp.ones(CFG.num_features, bool), CFG)
     assert not bool(out2.valid[0])
+
+
+def test_degeneracy_aware_detection():
+    """With a degenerate direction given, detection prefers candidates whose
+    gradients constrain it (ref photometric.cpp:566-644 scoring)."""
+    pts, inten = textured_scene(9)
+    frame = ph.make_frame(pts, inten, jnp.ones(len(pts), bool), CFG)
+    q = lie.quat_identity(jnp.float32)
+    t = jnp.zeros(3, jnp.float32)
+    # a tight budget so ranking order is visible
+    import dataclasses as _dc
+    cfg_small = _dc.replace(CFG, num_features=8)
+    # degenerate along lidar x
+    dirs = jnp.eye(3, dtype=jnp.float32)
+    mask = jnp.asarray([True, False, False])
+    f_deg = ph.detect_features(frame, ph.empty_features(cfg_small), q, t,
+                               cfg_small, degen_dirs=(dirs, mask))
+    f_plain = ph.detect_features(frame, ph.empty_features(cfg_small), q, t,
+                                 cfg_small)
+    n_deg = int(jnp.sum(f_deg.valid))
+    n_plain = int(jnp.sum(f_plain.valid))
+    assert n_deg >= 6 and n_plain >= 6
+    # selections must differ (the boost reorders the ranking)
+    c_deg = np.asarray(f_deg.center_w[f_deg.valid])
+    c_plain = np.asarray(f_plain.center_w[f_plain.valid])
+    same = 0
+    for c in c_deg:
+        if np.min(np.linalg.norm(c_plain - c, axis=-1)) < 1e-6:
+            same += 1
+    assert same < n_deg  # not identical sets
