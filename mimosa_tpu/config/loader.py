@@ -247,6 +247,7 @@ def from_reference_dict(raw: dict, declare_rate_hz=10.0,
         max_elevation=float(g("radar/manager/threshold_elevation_deg", 60.0))
         * deg,
         q_b_r=q_br, t_b_r=t_br,
+        use_to_init=bool(g("radar/manager/use_to_init", False)),
     )
 
     # ---- odometry
@@ -255,6 +256,7 @@ def from_reference_dict(raw: dict, declare_rate_hz=10.0,
         sigma_rot=float(g("odometry/manager/sigma_rot", 0.02)),
         sigma_trans=float(g("odometry/manager/sigma_trans", 0.05)),
         q_b_s=q_bs, t_b_s=t_bs,
+        use_to_init=bool(g("odometry/manager/use_to_init", False)),
     )
 
     # ---- sequencer

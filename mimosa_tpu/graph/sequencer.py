@@ -84,6 +84,10 @@ class SequencerConfig:
     quant_int_res: float = 0.25       # intensity units
     point_skip: int = 1               # keep every k-th point (ref
                                       # point_skip_divisor, enwide uses 4)
+    # re-run correspondence search at the absorb step (mm-scale pose updates
+    # make the loop's correspondences equally valid; a fresh match costs
+    # ~3x one relinearization)
+    refresh_match_on_absorb: bool = False
 
 
 class Sequencer:
@@ -231,8 +235,13 @@ class Sequencer:
         self.counters.setdefault("radar_dropped", 0)
         self.counters["radar_frames"] += 1
         ts = float(ts)
-        if not self.initialized or \
-                not self.imu.covers(min(self.last_state_ts, ts), ts):
+        if not self.initialized:
+            if rcfg.use_to_init:
+                self._try_initialize_inertial(ts)
+            if not self.initialized:
+                self.counters["radar_dropped"] += 1
+                return
+        if not self.imu.covers(min(self.last_state_ts, ts), ts):
             self.counters["radar_dropped"] += 1
             return
 
@@ -376,6 +385,8 @@ class Sequencer:
                 ocfg.max_d_optimality:
             self.counters["odom_dropped"] += 1
             return
+        if not self.initialized and ocfg.use_to_init:
+            self._try_initialize_inertial(ts)
         if not self.initialized or ts <= self.last_state_ts or \
                 not self.imu.covers(self.last_state_ts, ts):
             self.counters["odom_dropped"] += 1
@@ -582,6 +593,33 @@ class Sequencer:
         self.scan_idx += 1
 
     # --------------------------------------------------------------- helpers
+    def _try_initialize_inertial(self, ts):
+        """Initialization from a non-lidar sensor (ref use_to_init, e.g.
+        EuRoC VIO odometry): stationary attitude estimation only — the map
+        seeds on the first scan instead."""
+        self.counters["init_attempts"] += 1
+        att = estimate_attitude(self.imu, ts, self.cfg.pose_init_wait_secs,
+                                self.cfg.g_mag,
+                                self.cfg.gravity_aligned_init)
+        if att is None:
+            return
+        d = self.dtype
+        q0 = jnp.asarray(att["q_w_b"], d)
+        g0 = jnp.asarray(att["g_dir"], d)
+        self.window = self.window._replace(g_dir=g0, lin_g=g0)
+        self.window = win.append_state(
+            self.window, q0, jnp.zeros(3, d), jnp.zeros(3, d),
+            jnp.asarray(att["bg"], d), jnp.asarray(att["ba"], d), ts)
+        self.window = win.init_priors(self.window, self.win_cfg)
+        self.n_active = 1
+        self.initialized = True
+        self.last_state_ts = ts
+        self.state_ts = [ts]
+        self.traj_q = self.traj_q.at[0].set(q0)
+        self.traj_p = self.traj_p.at[0].set(jnp.zeros(3, d))
+        self._traj_ts.append(ts)
+        logger.info("initialized (inertial, non-lidar) at ts=%.4f", ts)
+
     def _try_initialize(self, ts_header, t_end, points, t_abs_rel, valid):
         self.counters["init_attempts"] += 1
         att = estimate_attitude(self.imu, t_end, self.cfg.pose_init_wait_secs,
@@ -799,8 +837,13 @@ def _scan_step(window, vmap, preints, fv, scan_f, pt_valid,
         window = win.apply_update(window, dx, win_cfg)
 
     # 6) absorb the final scan factors into the prior at converged values
-    icp = linearize_fn(vmap, pts_geo, geo_valid, window.q[slot],
-                       window.p[slot], window.g_dir)
+    if seq_cfg.refresh_match_on_absorb or not (
+            linearize_fn is None or getattr(linearize_fn, "_is_default",
+                                            False)):
+        icp = linearize_fn(vmap, pts_geo, geo_valid, window.q[slot],
+                           window.p[slot], window.g_dir)
+    else:
+        icp = lin_iter(window.q[slot], window.p[slot], window.g_dir)
     window = win.rebase_prior(window, win_cfg)
     window = win.add_measurement_block(window, win.pose_idx(slot), icp.H,
                                        icp.b, win_cfg)

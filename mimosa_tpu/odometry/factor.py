@@ -25,6 +25,7 @@ class OdometryConfig:
     sigma_rot: float = 0.02           # rad, per relative measurement
     sigma_trans: float = 0.05         # m
     max_d_optimality: float = 1e-2    # gate on reported pose covariance
+    use_to_init: bool = False         # may this sensor trigger initialization
     # extrinsics T_B_S (odometry sensor in body)
     q_b_s: tuple = (1.0, 0.0, 0.0, 0.0)
     t_b_s: tuple = (0.0, 0.0, 0.0)

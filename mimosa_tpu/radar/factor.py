@@ -35,6 +35,7 @@ class RadarConfig:
     max_range: float = 60.0
     max_azimuth: float = 0.9          # rad, cone half-angle
     max_elevation: float = 0.9
+    use_to_init: bool = False         # may this sensor trigger initialization
     # extrinsics T_B_R
     q_b_r: tuple = (1.0, 0.0, 0.0, 0.0)
     t_b_r: tuple = (0.0, 0.0, 0.0)
