@@ -62,22 +62,33 @@ def main():
     scans = data["scans"]
     imu_i = 0
 
-    def feed(scan):
-        nonlocal imu_i
-        t_end = scan["ts_header"] + scan["t_rel"].max()
-        while imu_i < len(imu["ts"]) and imu["ts"][imu_i] <= t_end + 0.03:
+    def stage(i):
+        sc = scans[i]
+        return s.stage_scan(sc["ts_header"], sc["points"], sc["t_rel"],
+                            sc["valid"])
+
+    staged_next = stage(0)
+
+    def feed(i):
+        # production pattern (io/replay.py): scan i+1 is staged — its host
+        # pack + H2D transfer in flight — while scan i runs on device
+        nonlocal imu_i, staged_next
+        st = staged_next
+        while imu_i < len(imu["ts"]) and \
+                imu["ts"][imu_i] <= st["t_end"] + 0.03:
             s.add_imu(imu["ts"][imu_i], imu["acc"][imu_i], imu["gyro"][imu_i])
             imu_i += 1
-        s.add_scan(scan["ts_header"], scan["points"], scan["t_rel"],
-                   scan["valid"])
+        s.add_scan(st["ts_header"], staged=st)   # async dispatch
+        if i + 1 < len(scans):
+            staged_next = stage(i + 1)   # packs while scan i runs on device
 
     n_warm = min(20, len(scans) // 3)
-    for scan in scans[:n_warm]:
-        feed(scan)
+    for i in range(n_warm):
+        feed(i)
     # steady state timing
     t0 = time.time()
-    for scan in scans[n_warm:]:
-        feed(scan)
+    for i in range(n_warm, len(scans)):
+        feed(i)
     jax.block_until_ready(s.window.p)
     wall = time.time() - t0
     n_timed = len(scans) - n_warm

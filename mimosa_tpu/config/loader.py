@@ -215,6 +215,12 @@ def from_reference_dict(raw: dict, declare_rate_hz=10.0,
             g("lidar/geometric/scan_to_map/target_ivox_map_leaf_size", 0.5)),
         neighbor_voxel_mode=int(g("lidar/geometric/neighbor_voxel_mode", 7)),
         lru_horizon=int(g("lidar/geometric/lru_horizon", 1000)),
+        # ref fits the correspondence plane from num_corres_points kNN
+        # points (geometric_config.hpp:23, =5 in every dataset config); a
+        # voxel plane fitted from fewer points than that is not a valid
+        # correspondence
+        plane_min_points=float(
+            g("lidar/geometric/scan_to_map/num_corres_points", 5)),
         plane_max_thickness=float(
             g("lidar/geometric/scan_to_map/plane_validity_distance", 0.07)),
     )
@@ -290,6 +296,12 @@ def from_reference_dict(raw: dict, declare_rate_hz=10.0,
         q_b_l=q_bl, t_b_l=t_bl,
     )
     seq_kwargs.update(seq_overrides)
+    # clamp downsample sizes to the scan size unless explicitly overridden
+    msp = seq_kwargs.get("max_scan_points", SequencerConfig.max_scan_points)
+    seq_kwargs.setdefault("n_geo_points",
+                          min(SequencerConfig.n_geo_points, msp))
+    seq_kwargs.setdefault("n_map_points",
+                          min(SequencerConfig.n_map_points, msp))
     sequencer = SequencerConfig(**seq_kwargs)
 
     return check_valid(ConfigSet(

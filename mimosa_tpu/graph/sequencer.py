@@ -88,6 +88,13 @@ class SequencerConfig:
     # make the loop's correspondences equally valid; a fresh match costs
     # ~3x one relinearization)
     refresh_match_on_absorb: bool = False
+    # per-point mid-GN re-association of points that moved further than
+    # leaf/4 since their last association (ref geometric_factor.hpp:280-317).
+    # Guarded by lax.cond: free in the converged regime (mm updates never
+    # trip it). Default off: on a knife-edge tracking-loss replay it did
+    # not rescue the pose (fresh associations at a marginal pose latch onto
+    # wrong planes as readily as stale ones anchor); enable per-dataset.
+    rematch_on_motion: bool = False
 
 
 class Sequencer:
@@ -483,21 +490,82 @@ class Sequencer:
         return self._step_cache[key]
 
     # ----------------------------------------------------------------- scan
-    def add_scan(self, ts_header, points, t_rel, valid=None, intensity=None):
-        """points [N,3] in lidar frame; t_rel [N] per-point time offsets from
-        ts_header (seconds); optional per-point intensity (photometric).
-        Pads/truncates to max_scan_points."""
-        self.counters["scans"] += 1
+    def stage_scan(self, ts_header, points, t_rel, valid=None,
+                   intensity=None):
+        """Pack/quantize a scan and start its async H2D transfer.
+
+        Call as soon as the scan ARRIVES (while it waits in the
+        collection-delay queue for IMU coverage): the host pack and the
+        tunnel transfer then overlap the previous scans' device work
+        instead of sitting on the critical path. Returns a handle for
+        ``add_scan(ts_header, staged=handle)``. Point times are packed
+        relative to ``ts_header``; the IMU-segment rebase happens on
+        device via a scalar offset, so staging needs no knowledge of the
+        (yet unknown) segment."""
         points = np.asarray(points)
         t_rel = np.asarray(t_rel)
         if valid is None:
             valid = np.isfinite(points).all(-1)
         if intensity is None:
             intensity = np.zeros(len(points))
-        t_end = float(ts_header + (t_rel[valid].max() if valid.any() else 0.0))
+        intensity = np.asarray(intensity)
+        t_end = float(ts_header
+                      + (t_rel[valid].max() if valid.any() else 0.0))
+        raw = (points, t_rel, valid)   # full density for init map seeding
+        if self.cfg.point_skip > 1:
+            k = self.cfg.point_skip
+            points, t_rel, valid = points[::k], t_rel[::k], valid[::k]
+            intensity = intensity[::k]
+        with self.timers.stage("t_prepare"):
+            n = self.cfg.max_scan_points
+            pts, tp, vd = _pad_scan(points, t_rel, valid, n, self.dtype)
+            tp = np.where(vd, tp, 0.0)
+            inten = np.zeros(n)
+            inten[:min(len(intensity), n)] = np.nan_to_num(
+                intensity[:min(len(intensity), n)])
+            # pack per-scan inputs to minimize H2D transfers (each transfer
+            # is an RPC on a tunneled device); optional int16 quantization
+            # halves the bytes again (sentinel t = -32768 marks invalid
+            # lanes, so the validity mask costs nothing)
+            if self.cfg.quantize_transfer:
+                c = self.cfg
+                scan_q = np.empty((n, 5), np.int16)
+                scan_q[:, :3] = np.clip(np.round(pts / c.quant_pos_res),
+                                        -32767, 32767)
+                # valid t in [-32767, 32767], sentinel -32768 = invalid
+                scan_q[:, 3] = np.where(
+                    vd,
+                    np.clip(np.round(tp / c.quant_t_res), 0, 65534) - 32767,
+                    -32768)
+                scan_q[:, 4] = np.clip(np.round(inten / c.quant_int_res),
+                                       0, 32767)
+                scan_dev = jnp.asarray(scan_q)
+                valid_dev = None
+            else:
+                scan_dev = jnp.asarray(
+                    np.concatenate([pts, tp[:, None], inten[:, None]],
+                                   axis=1), self.dtype)
+                valid_dev = jnp.asarray(vd)
+        return dict(ts_header=float(ts_header), t_end=t_end,
+                    scan_dev=scan_dev, valid_dev=valid_dev, raw=raw)
+
+    def add_scan(self, ts_header, points=None, t_rel=None, valid=None,
+                 intensity=None, staged=None):
+        """points [N,3] in lidar frame; t_rel [N] per-point time offsets from
+        ts_header (seconds); optional per-point intensity (photometric).
+        Pads/truncates to max_scan_points. Pass ``staged`` (the handle from
+        :meth:`stage_scan`) instead of raw arrays to consume a scan whose
+        transfer was started ahead of time."""
+        self.counters["scans"] += 1
+        if staged is None:
+            staged = self.stage_scan(ts_header, points, t_rel, valid,
+                                     intensity)
+        ts_header = staged["ts_header"]
+        t_end = staged["t_end"]
 
         if not self.initialized:
-            self._try_initialize(ts_header, t_end, points, t_rel, valid)
+            rp, rt, rv = staged["raw"]
+            self._try_initialize(ts_header, t_end, rp, rt, rv)
             return
 
         if t_end <= self.last_state_ts:
@@ -513,72 +581,36 @@ class Sequencer:
             self.counters["scans_same_key"] += 1
             return
 
-        if self.cfg.point_skip > 1:
-            k = self.cfg.point_skip
-            points = points[::k]
-            t_rel = t_rel[::k]
-            valid = valid[::k]
-            intensity = np.asarray(intensity)[::k]
-
-        with self.timers.stage("t_prepare"):
-            n = self.cfg.max_scan_points
-            pts, tp, vd = _pad_scan(points, ts_header + t_rel, valid, n,
-                                    self.dtype)
-            inten = np.zeros(n)
-            inten[:min(len(intensity), n)] = np.nan_to_num(
-                intensity[:min(len(intensity), n)])
-
         ts_seg, accs, gyros, dts, seg_valid, n_seg = self.imu.segment(
             self.last_state_ts, t_end, self.cfg.max_imu_per_segment)
 
         # rebase all timestamps to the segment start ON HOST in f64 — real
         # datasets carry epoch-scale stamps that do not survive a cast to
-        # the device f32 time base
+        # the device f32 time base; the staged point times are
+        # header-relative and get the same rebase via a scalar offset
         base = ts_seg[0]
-        tp = np.where(vd, tp - base, 0.0)
         ts_seg = ts_seg - base
         t_end_rel = t_end - base
+        t_offset = ts_header - base
 
         # marginalize as a SEPARATE async dispatch: the device slides the
-        # window while the host pads/quantizes the scan (overlap) — merging
+        # window while the host packs the IMU segment (overlap) — merging
         # it into the scan step measured slower
         if self.n_active == self.win_cfg.K:
             self._marginalize_host()
 
-        # pack per-scan inputs to minimize H2D transfers (each transfer is
-        # an RPC on a tunneled device); optional int16 quantization halves
-        # the bytes again (sentinel t = -32768 marks invalid lanes, so the
-        # validity mask costs nothing)
         imu_f = np.concatenate([accs, gyros, dts[:, None],
                                 seg_valid[:, None].astype(np.float64)],
                                axis=1)
         scalars = np.asarray([self.n_active, t_end_rel,
-                              len(self._traj_ts), self.scan_idx])
-        if self.cfg.quantize_transfer:
-            c = self.cfg
-            scan_q = np.empty((n, 5), np.int16)
-            scan_q[:, :3] = np.clip(np.round(pts / c.quant_pos_res),
-                                    -32767, 32767)
-            # valid t in [-32767, 32767], sentinel -32768 = invalid lane
-            scan_q[:, 3] = np.where(
-                vd, np.clip(np.round(tp / c.quant_t_res), 0, 65534) - 32767,
-                -32768)
-            scan_q[:, 4] = np.clip(np.round(inten / c.quant_int_res),
-                                   0, 32767)
-            scan_dev = jnp.asarray(scan_q)
-            valid_dev = None
-        else:
-            scan_dev = jnp.asarray(
-                np.concatenate([pts, tp[:, None], inten[:, None]], axis=1),
-                self.dtype)
-            valid_dev = jnp.asarray(vd)
+                              len(self._traj_ts), self.scan_idx, t_offset])
 
         step = self._get_scan_step(False)
         (self.window, self.vmap, self.preints, self.fv, self.features,
          self.kf_q, self.kf_p, self.kf_count, self.traj_q, self.traj_p,
          self.debug_rec) = step(
             self.window, self.vmap, self.preints, self.fv,
-            scan_dev, valid_dev,
+            staged["scan_dev"], staged["valid_dev"],
             jnp.asarray(imu_f, self.dtype),
             jnp.asarray(scalars, self.dtype),
             self.kf_q, self.kf_p, self.kf_count,
@@ -729,6 +761,8 @@ def _scan_step(window, vmap, preints, fv, scan_f, pt_valid,
     t_end = scalars[1]
     traj_idx = scalars[2].astype(jnp.int32)
     scan_idx = scalars[3].astype(jnp.int32)
+    # staged point times are scan-header-relative; shift to segment base
+    t_offset = scalars[4]
 
     if marginalize_first:
         window = win.marginalize_oldest(window, preints, win_cfg)
@@ -739,12 +773,13 @@ def _scan_step(window, vmap, preints, fv, scan_f, pt_valid,
     if seq_cfg.quantize_transfer:
         # int16 dequantization; sentinel t == -32768 encodes invalid lanes
         pts = scan_f[:, :3].astype(d) * seq_cfg.quant_pos_res
-        t_pts = (scan_f[:, 3].astype(d) + 32767.0) * seq_cfg.quant_t_res
+        t_pts = (scan_f[:, 3].astype(d) + 32767.0) * seq_cfg.quant_t_res \
+            + t_offset
         intensity = scan_f[:, 4].astype(d) * seq_cfg.quant_int_res
         pt_valid = scan_f[:, 3] != jnp.int16(-32768)
     else:
         pts = scan_f[:, :3]
-        t_pts = scan_f[:, 3]
+        t_pts = scan_f[:, 3] + t_offset
         intensity = scan_f[:, 4]
     accs = imu_f[:, 0:3]
     gyros = imu_f[:, 3:6]
@@ -825,6 +860,18 @@ def _scan_step(window, vmap, preints, fv, scan_f, pt_valid,
     imu_cache = win.imu_factor_cache(window, preints, win_cfg)
     icp = None
     pr = None
+    default_path = linearize_fn is None or getattr(linearize_fn,
+                                                   "_is_default", False)
+    rematch = default_path and seq_cfg.rematch_on_motion
+    if rematch:
+        rematch_thresh = 0.25 * map_cfg.leaf_size
+
+        def _world_pts(q_, t_):
+            return pts_geo @ lie.quat_to_mat(q_).T + t_
+
+        # per-point world position at the time of last data association
+        # (ref transed_point_target_da_, geometric_factor.hpp:280-317)
+        p_da = _world_pts(window.q[slot], window.p[slot])
     for _ in range(seq_cfg.n_gn_iters):
         icp = lin_iter(window.q[slot], window.p[slot], window.g_dir)
         meas = [(win.pose_idx(slot), icp.H, icp.b)]
@@ -835,6 +882,25 @@ def _scan_step(window, vmap, preints, fv, scan_f, pt_valid,
                                   imu_cache=imu_cache)
         dx = win.solve(H, rhs)
         window = win.apply_update(window, dx, win_cfg)
+        if rematch:
+            # per-point re-association of exactly the points that moved
+            # beyond leaf/4 since their last association; unmoved points
+            # keep their correspondence and anchor the pose if an update
+            # overshoots (ref geometric_factor.hpp:280-317)
+            qn, pn = window.q[slot], window.p[slot]
+            p_now = _world_pts(qn, pn)
+            moved_i = jnp.linalg.norm(p_now - p_da, axis=-1) > rematch_thresh
+
+            def _do_rematch(m=matches, pd=p_da):
+                nm = geo.match(vmap, pts_geo, qn, pn, map_cfg)
+                return ((jnp.where(moved_i[:, None], nm[0], m[0]),
+                         jnp.where(moved_i[:, None], nm[1], m[1]),
+                         jnp.where(moved_i, nm[2], m[2])),
+                        jnp.where(moved_i[:, None], p_now, pd))
+
+            matches, p_da = jax.lax.cond(
+                jnp.any(moved_i & geo_valid), _do_rematch,
+                lambda m=matches, pd=p_da: (m, pd))
 
     # 6) absorb the final scan factors into the prior at converged values
     if seq_cfg.refresh_match_on_absorb or not (

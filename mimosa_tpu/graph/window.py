@@ -331,10 +331,23 @@ def build_system(w: Window, preints: pre.PreintState, factor_valid,
 
 
 def solve(H, rhs):
-    """Solve the (small, dense, SPD-damped) system via Cholesky."""
-    L = jnp.linalg.cholesky(H)
-    y = jax.scipy.linalg.solve_triangular(L, rhs, lower=True)
-    return jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
+    """Solve the (small, dense, SPD-damped) system via Jacobi-equilibrated
+    Cholesky.
+
+    The window mixes information scales of ~1e7 (tight initial rotation
+    priors, accumulated scan factors) with ~1e-1 (fresh velocity states), so
+    the raw condition number can exceed what an f32 Cholesky tolerates
+    (observed 8e9 on a tracking-loss replay -> NaN pivots). Symmetric
+    diagonal scaling D^-1/2 H D^-1/2 removes the scale disparity. If the
+    factorization still fails (truly singular system), the update degrades
+    to zero — hold the IMU-predicted state, the same graceful degradation
+    the reference shows when ICP degenerates — instead of poisoning the
+    window with NaNs."""
+    d = jnp.sqrt(jnp.maximum(jnp.diagonal(H), 1e-12))
+    L = jnp.linalg.cholesky(H / d[:, None] / d[None, :])
+    y = jax.scipy.linalg.solve_triangular(L, rhs / d, lower=True)
+    dx = jax.scipy.linalg.solve_triangular(L.T, y, lower=False) / d
+    return jnp.where(jnp.isfinite(dx), dx, 0.0)
 
 
 # ---------------------------------------------------------------------------
@@ -404,7 +417,12 @@ def marginalize_oldest(w: Window, preints: pre.PreintState,
     Hrr = H[SD:, SD:]
     bk = b[:SD]
     br = b[SD:]
-    sol = jnp.linalg.solve(Hkk, jnp.concatenate([Hkr, bk[:, None]], axis=1))
+    # equilibrated solve: Hkk mixes prior info ~1e7 with ~1e-1 velocity
+    # info; scaling keeps the f32 factorization accurate (see solve())
+    dk = jnp.sqrt(jnp.maximum(jnp.diagonal(Hkk), 1e-12))
+    rhs_all = jnp.concatenate([Hkr, bk[:, None]], axis=1)
+    sol = jnp.linalg.solve(Hkk / dk[:, None] / dk[None, :],
+                           rhs_all / dk[:, None]) / dk[:, None]
     Hred = Hrr - Hkr.T @ sol[:, :-1]
     bred = br - Hkr.T @ sol[:, -1]
 

@@ -86,19 +86,19 @@ def replay_bag(bag_path, config_path, imu_topic, lidar_topic,
             s.add_imu(m["stamp"], m["acc"], m["gyro"])
             while pending and s.imu.t_last is not None and \
                     pending[0][0] <= s.imu.t_last:
-                _, sc = pending.pop(0)
-                s.add_scan(sc["ts_header"], sc["points"], sc["t_rel"],
-                           sc["valid"])
+                _, st = pending.pop(0)
+                s.add_scan(st["ts_header"], staged=st)
                 n_proc += 1
         elif topic == lidar_topic:
             d = pc2.decode(m["data"], m["fields"], m["point_step"],
                            header_stamp=m["stamp"])
             ok = pc2.point_filters(d["points"], d["intensity"], d["ring"],
                                    **filters)
-            sc = dict(ts_header=m["stamp"], points=d["points"],
-                      t_rel=d["t_rel"], valid=ok)
-            t_end = m["stamp"] + (d["t_rel"][ok].max() if ok.any() else 0.0)
-            pending.append((t_end, sc))
+            # stage at arrival: the pack + H2D transfer overlap the device
+            # work of earlier scans while this one waits for IMU coverage
+            st = s.stage_scan(m["stamp"], d["points"], d["t_rel"], ok,
+                              intensity=d["intensity"])
+            pending.append((st["t_end"], st))
         elif radar_topic and topic == radar_topic:
             d = pc2.decode_radar(m["data"], m["fields"], m["point_step"])
             dop = d["doppler"]

@@ -60,7 +60,7 @@ class VoxelMapConfig:
     insert_probes: int = 8
     query_probes: int = 4
     neighbor_voxel_mode: int = 7      # 1 / 7 / 19 / 27
-    plane_min_points: float = 6.0
+    plane_min_points: float = 5.0   # ref num_corres_points default (kNN=5)
     max_points_per_voxel: float = 64.0
     lru_horizon: int = 100            # scans; <=0 disables eviction
     plane_max_thickness: float = 0.08  # max sqrt(min eigenvalue) in meters

@@ -52,3 +52,15 @@ def test_seq_overrides():
                                     n_geo_points=1024)
     assert cs.sequencer.max_scan_points == 4096
     assert cs.sequencer.n_geo_points == 1024
+
+
+def test_plane_min_points_maps_num_corres_points():
+    """ref geometric_config.hpp:23: planes are fit from num_corres_points
+    kNN points (5 in every dataset config); the voxel-map plane validity
+    threshold must follow it, not a stricter default."""
+    from mimosa_tpu.config.loader import from_reference_dict
+    cs = from_reference_dict({})
+    assert cs.voxel_map.plane_min_points == 5
+    cs = from_reference_dict(
+        {"lidar": {"geometric": {"scan_to_map": {"num_corres_points": 7}}}})
+    assert cs.voxel_map.plane_min_points == 7

@@ -175,3 +175,22 @@ def test_prefixes_match_incremental():
             jnp.zeros(3), jnp.zeros(3), 1e-4, 1e-5)
         np.testing.assert_allclose(pref.dp[k], s.dp, atol=1e-10)
         np.testing.assert_allclose(pref.dq[k], s.dq, atol=1e-10)
+
+
+def test_imu_localizability():
+    """Well-excited motion: all 9 dof observable (positive eigenvalues);
+    ordering and shapes match the ref diagnostic (imu/manager.cpp:436-482)."""
+    d = simulate_imu(T=0.5, seed=20)
+    st = pre.preintegrate(d["accs"], d["gyros"], d["dts"], jnp.zeros(3),
+                          jnp.zeros(3), 1e-4, 1e-5)
+    out = pre.localizability(st, d["q0"], d["p0"], d["v0"], d["q1"],
+                             d["p1"], d["v1"], jnp.zeros(3), jnp.zeros(3),
+                             jnp.asarray([0.0, 0.0, -1.0]), G_MAG)
+    for k in ("eig_rot", "eig_pos", "eig_vel"):
+        e = np.asarray(out[k])
+        assert e.shape == (3,)
+        assert (e > 0).all(), (k, e)
+        assert e[0] <= e[1] <= e[2]
+    assert out["H"].shape == (9, 9)
+    w = np.linalg.eigvalsh(np.asarray(out["H"]))
+    assert w.min() > 0

@@ -153,3 +153,34 @@ def test_inactive_slots_untouched():
     np.testing.assert_allclose(w2.q[1:], w.q[1:], atol=0)
     np.testing.assert_allclose(w2.p[1:], w.p[1:], atol=0)
     assert not np.any(np.isnan(np.asarray(dx)))
+
+
+def test_solve_ill_conditioned_f32():
+    """Regression: a PD system mixing ~1e7 prior information with ~1e-1
+    velocity information (condition ~1e10, observed on a tracking-loss
+    replay) must solve accurately in f32 — the raw Cholesky NaN'd and
+    poisoned the window permanently. The equilibrated solve must stay
+    finite and match the f64 solution."""
+    rng = np.random.default_rng(0)
+    n = 90
+    scales = 10.0 ** rng.uniform(-1, 7, n)
+    A = rng.standard_normal((n, n))
+    H64 = A @ A.T / n + np.eye(n)
+    H64 = H64 * np.outer(scales, scales) ** 0.5
+    rhs64 = rng.standard_normal(n) * scales ** 0.5
+    assert np.linalg.cond(H64) > 1e8
+    dx64 = np.linalg.solve(H64, rhs64)
+    dx32 = np.asarray(win.solve(jnp.asarray(H64, jnp.float32),
+                                jnp.asarray(rhs64, jnp.float32)))
+    assert np.all(np.isfinite(dx32))
+    denom = np.linalg.norm(dx64)
+    assert np.linalg.norm(dx32 - dx64) / denom < 1e-2
+
+
+def test_solve_singular_degrades_to_zero():
+    """A truly broken system (NaN rhs) must yield a zero-ish finite update,
+    never NaN: the sequencer holds the IMU prediction and keeps running."""
+    H = jnp.eye(10, dtype=jnp.float32)
+    rhs = jnp.full(10, jnp.nan, jnp.float32)
+    dx = np.asarray(win.solve(H, rhs))
+    assert np.all(np.isfinite(dx))
