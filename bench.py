@@ -41,58 +41,67 @@ def main():
     data = syn.generate(world, tc, lm, seed=0, imu_noise=0.01,
                         range_noise=0.01)
 
-    s = seq.Sequencer(
-        seq_cfg=seq.SequencerConfig(
-            # point_skip=4 matches the reference's ENWIDE config
-            # (point_skip_divisor: 4, mimosa/config/enwide/params.yaml)
-            max_scan_points=lm.n_rows * lm.n_cols // 4, point_skip=4,
-            n_geo_points=8192, n_map_points=16384,
-            geo_leaf=0.5, map_insert_leaf=0.2,
-            keyframe_trans_thresh=0.3, keyframe_rot_thresh=0.15,
-            n_gn_iters=3,
-        ),
-        win_cfg=win.WindowConfig(K=8),
-        map_cfg=vh.VoxelMapConfig(leaf_size=0.5, capacity_log2=19,
-                                  plane_min_points=5, lru_horizon=0),
-        geo_cfg=geo.GeometricConfig(),
-        dtype=jnp.float32,
-    )
+    def make_sequencer():
+        return seq.Sequencer(
+            seq_cfg=seq.SequencerConfig(
+                # point_skip=4 matches the reference's ENWIDE config
+                # (point_skip_divisor: 4, mimosa/config/enwide/params.yaml)
+                max_scan_points=lm.n_rows * lm.n_cols // 4, point_skip=4,
+                n_geo_points=8192, n_map_points=16384,
+                geo_leaf=0.5, map_insert_leaf=0.2,
+                keyframe_trans_thresh=0.3, keyframe_rot_thresh=0.15,
+                n_gn_iters=3,
+            ),
+            win_cfg=win.WindowConfig(K=8),
+            map_cfg=vh.VoxelMapConfig(leaf_size=0.5, capacity_log2=19,
+                                      plane_min_points=5, lru_horizon=0),
+            geo_cfg=geo.GeometricConfig(),
+            dtype=jnp.float32,
+        )
 
     imu = data["imu"]
     scans = data["scans"]
-    imu_i = 0
 
-    def stage(i):
-        sc = scans[i]
-        return s.stage_scan(sc["ts_header"], sc["points"], sc["t_rel"],
-                            sc["valid"])
+    def replay_once():
+        """One full replay; returns (steady-state scans/s, sequencer)."""
+        s = make_sequencer()
+        imu_i = 0
 
-    staged_next = stage(0)
+        def stage(i):
+            sc = scans[i]
+            return s.stage_scan(sc["ts_header"], sc["points"], sc["t_rel"],
+                                sc["valid"])
 
-    def feed(i):
-        # production pattern (io/replay.py): scan i+1 is staged — its host
-        # pack + H2D transfer in flight — while scan i runs on device
-        nonlocal imu_i, staged_next
-        st = staged_next
-        while imu_i < len(imu["ts"]) and \
-                imu["ts"][imu_i] <= st["t_end"] + 0.03:
-            s.add_imu(imu["ts"][imu_i], imu["acc"][imu_i], imu["gyro"][imu_i])
-            imu_i += 1
-        s.add_scan(st["ts_header"], staged=st)   # async dispatch
-        if i + 1 < len(scans):
-            staged_next = stage(i + 1)   # packs while scan i runs on device
+        staged_next = stage(0)
+        n_warm = min(20, len(scans) // 3)
+        t0 = None
+        for i in range(len(scans)):
+            if i == n_warm:
+                jax.block_until_ready(s.window.p)
+                t0 = time.time()
+            # production pattern (io/replay.py): scan i+1 is staged — its
+            # host pack + H2D transfer in flight — while scan i runs on
+            # device
+            st = staged_next
+            while imu_i < len(imu["ts"]) and \
+                    imu["ts"][imu_i] <= st["t_end"] + 0.03:
+                s.add_imu(imu["ts"][imu_i], imu["acc"][imu_i],
+                          imu["gyro"][imu_i])
+                imu_i += 1
+            s.add_scan(st["ts_header"], staged=st)   # async dispatch
+            if i + 1 < len(scans):
+                staged_next = stage(i + 1)
+        jax.block_until_ready(s.window.p)
+        return (len(scans) - n_warm) / (time.time() - t0), s
 
-    n_warm = min(20, len(scans) // 3)
-    for i in range(n_warm):
-        feed(i)
-    # steady state timing
-    t0 = time.time()
-    for i in range(n_warm, len(scans)):
-        feed(i)
-    jax.block_until_ready(s.window.p)
-    wall = time.time() - t0
-    n_timed = len(scans) - n_warm
-    sps = n_timed / wall
+    # Median of 3 replays in one process: the dev tunnel's relay throughput
+    # varies +-30% between sessions, so a single cold pass measures session
+    # luck, not the chip. Repetition 1 also absorbs all compiles.
+    rates = []
+    for _ in range(3):
+        sps_i, s = replay_once()
+        rates.append(sps_i)
+    sps = float(np.median(rates))
 
     est_ts = np.asarray([t for t, _, _ in s.trajectory])
     est_p = np.asarray([p for _, p, _ in s.trajectory])

@@ -168,14 +168,14 @@ class Sequencer:
             donate_argnums=(0, 1))
         self._step_cache = {}
 
-    def _get_scan_step(self, marginalize_first: bool):
-        key = ("scan", marginalize_first)
+    def _get_scan_step(self, marginalize_first: bool, append: bool = True):
+        key = ("scan", marginalize_first, append)
         if key not in self._step_cache:
             self._step_cache[key] = jax.jit(functools.partial(
                 _scan_step, seq_cfg=self.cfg, win_cfg=self.win_cfg,
                 map_cfg=self.map_cfg, geo_cfg=self.geo_cfg,
                 photo_cfg=self.photo_cfg,
-                marginalize_first=marginalize_first))
+                marginalize_first=marginalize_first, append=append))
         return self._step_cache[key]
 
     # ------------------------------------------------------- logged outputs
@@ -569,17 +569,13 @@ class Sequencer:
             return
 
         if t_end <= self.last_state_ts:
-            self.counters["scans_dropped_ooo"] += 1
-            logger.warning("scan at %.4f older than newest state %.4f — "
-                           "dropped", t_end, self.last_state_ts)
+            self._scan_ooo(staged)
             return
         if not self.imu.covers(self.last_state_ts, t_end):
             self.counters["scans_no_imu"] += 1
             return
-        if self.imu.count_between(self.last_state_ts, t_end) < \
-                self.cfg.min_imu_between_states:
-            self.counters["scans_same_key"] += 1
-            return
+        same_key = self.imu.count_between(self.last_state_ts, t_end) < \
+            self.cfg.min_imu_between_states
 
         ts_seg, accs, gyros, dts, seg_valid, n_seg = self.imu.segment(
             self.last_state_ts, t_end, self.cfg.max_imu_per_segment)
@@ -595,17 +591,28 @@ class Sequencer:
 
         # marginalize as a SEPARATE async dispatch: the device slides the
         # window while the host packs the IMU segment (overlap) — merging
-        # it into the scan step measured slower
-        if self.n_active == self.win_cfg.K:
+        # it into the scan step measured slower (same-key attaches to an
+        # existing state, so no slot is needed)
+        if not same_key and self.n_active == self.win_cfg.K:
             self._marginalize_host()
 
         imu_f = np.concatenate([accs, gyros, dts[:, None],
                                 seg_valid[:, None].astype(np.float64)],
                                axis=1)
-        scalars = np.asarray([self.n_active, t_end_rel,
-                              len(self._traj_ts), self.scan_idx, t_offset])
+        # same-key refreshes the newest state's trajectory entry in place;
+        # scalars[0] doubles as the deskew-base slot and scalars[5] as the
+        # attach slot in attach mode (see _scan_step)
+        if same_key:
+            traj_idx = len(self._traj_ts) - 1
+            scalars = np.asarray([self.n_active - 1, t_end_rel, traj_idx,
+                                  self.scan_idx, t_offset,
+                                  self.n_active - 1])
+        else:
+            scalars = np.asarray([self.n_active, t_end_rel,
+                                  len(self._traj_ts), self.scan_idx,
+                                  t_offset, 0])
 
-        step = self._get_scan_step(False)
+        step = self._get_scan_step(False, append=not same_key)
         (self.window, self.vmap, self.preints, self.fv, self.features,
          self.kf_q, self.kf_p, self.kf_count, self.traj_q, self.traj_p,
          self.debug_rec) = step(
@@ -618,11 +625,114 @@ class Sequencer:
             self.debug_rec,
             self.features,
         )
+        self.scan_idx += 1
+        if same_key:
+            # SUCCESS_SAME_KEY: the scan's factors were defined on the
+            # existing newest state (ref sensor_manager_base.hpp:242) —
+            # no new state, window bookkeeping unchanged
+            self.counters["scans_same_key"] += 1
+            return
         self.n_active += 1
         self.last_state_ts = t_end
         self.state_ts.append(t_end)
         self._traj_ts.append(t_end)
+
+    def _scan_ooo(self, staged):
+        """Out-of-order scan (ref graph/manager.cpp:220-417 applied to the
+        lidar): same-key collapse onto a neighboring state, or mid-window
+        state insertion with IMU-segment re-integration; the scan's ICP
+        factors land on the collapsed/inserted state. The replay harness's
+        collection delay makes this path unreachable offline; it serves
+        online multi-lidar and transport-jitter arrivals."""
+        self.counters.setdefault("scans_ooo_samekey", 0)
+        self.counters.setdefault("scans_ooo_inserted", 0)
+        t_end = staged["t_end"]
+        ts_header = staged["ts_header"]
+        if self.last_state_ts - t_end > self.cfg.max_measurement_latency \
+                or t_end <= self.state_ts[0] or self.n_active < 2:
+            self.counters["scans_dropped_ooo"] += 1
+            logger.warning("scan at %.4f too old (newest state %.4f) — "
+                           "dropped", t_end, self.last_state_ts)
+            return
+        import bisect
+        pos = bisect.bisect_left(self.state_ts, t_end)
+        prev_ts = self.state_ts[pos - 1]
+        next_ts = self.state_ts[pos]
+        min_imu = self.cfg.min_imu_between_states
+        near_prev = self.imu.count_between(prev_ts, t_end) < min_imu
+        near_next = self.imu.count_between(t_end, next_ts) < min_imu
+        d = self.dtype
+        if near_prev or near_next:
+            # collapse onto the neighbor (ref :237-265) — deskew from the
+            # prev state over (prev_ts -> t_end); the factor acts on the
+            # neighbor state (< min_imu samples from the scan end)
+            attach = pos - 1 if near_prev else pos
+            ts_seg, accs, gyros, dts, seg_valid, _ = self.imu.segment(
+                prev_ts, t_end, self.cfg.max_imu_per_segment)
+            base = ts_seg[0]
+            imu_f = np.concatenate([accs, gyros, dts[:, None],
+                                    seg_valid[:, None].astype(np.float64)],
+                                   axis=1)
+            # scratch trajectory slot: OOO refinements do not rewrite the
+            # TUM history (the reference republishes only current state)
+            scalars = np.asarray([pos - 1, t_end - base,
+                                  self.cfg.max_trajectory - 1,
+                                  self.scan_idx, ts_header - base, attach])
+            step = self._get_scan_step(False, append=False)
+            (self.window, self.vmap, self.preints, self.fv, self.features,
+             self.kf_q, self.kf_p, self.kf_count, self.traj_q, self.traj_p,
+             self.debug_rec) = step(
+                self.window, self.vmap, self.preints, self.fv,
+                staged["scan_dev"], staged["valid_dev"],
+                jnp.asarray(imu_f, d), jnp.asarray(scalars, d),
+                self.kf_q, self.kf_p, self.kf_count,
+                self.traj_q, self.traj_p, self.debug_rec, self.features)
+            self.scan_idx += 1
+            self.counters["scans_ooo_samekey"] += 1
+            return
+        if self.n_active == self.win_cfg.K:
+            self._marginalize_host()
+            pos -= 1
+            if pos < 1:
+                self.counters["scans_dropped_ooo"] += 1
+                return
+            prev_ts = self.state_ts[pos - 1]
+            next_ts = self.state_ts[pos]
+        m = self.cfg.max_imu_per_segment
+        ts_a, accs_a, gyros_a, dts_a, va, _ = self.imu.segment(
+            prev_ts, t_end, m)
+        _, accs_b, gyros_b, dts_b, vb, _ = self.imu.segment(
+            t_end, next_ts, m)
+        base = ts_a[0]
+        imu_a = np.concatenate([accs_a, gyros_a, dts_a[:, None],
+                                va[:, None].astype(np.float64)], axis=1)
+        imu_b = np.concatenate([accs_b, gyros_b, dts_b[:, None],
+                                vb[:, None].astype(np.float64)], axis=1)
+        scalars = np.asarray([pos, t_end - base,
+                              self.cfg.max_trajectory - 1, self.scan_idx,
+                              ts_header - base, 0])
+        step = self._get_scan_ooo_step()
+        (self.window, self.vmap, self.preints, self.fv,
+         self.debug_rec) = step(
+            self.window, self.vmap, self.preints, self.fv,
+            staged["scan_dev"], staged["valid_dev"],
+            jnp.asarray(imu_a, d), jnp.asarray(imu_b, d),
+            jnp.asarray(scalars, d), self.debug_rec)
         self.scan_idx += 1
+        self.n_active += 1
+        self.state_ts.insert(pos, t_end)
+        prev = getattr(self, "_odom_prev", None)
+        if prev is not None and prev["slot"] >= pos:
+            prev["slot"] += 1
+        self.counters["scans_ooo_inserted"] += 1
+
+    def _get_scan_ooo_step(self):
+        key = ("scan_ooo",)
+        if key not in self._step_cache:
+            self._step_cache[key] = jax.jit(functools.partial(
+                _scan_ooo_step, seq_cfg=self.cfg, win_cfg=self.win_cfg,
+                map_cfg=self.map_cfg, geo_cfg=self.geo_cfg))
+        return self._step_cache[key]
 
     # --------------------------------------------------------------- helpers
     def _try_initialize_inertial(self, ts):
@@ -721,18 +831,42 @@ def _set_segment(preints, i, seg):
     return jax.tree_util.tree_map(lambda a, s: a.at[i].set(s), preints, seg)
 
 
+def _decode_scan(scan_f, pt_valid, t_offset, seq_cfg, d):
+    """Unpack a staged scan: int16 dequantization (sentinel t == -32768
+    encodes invalid lanes) or plain f32 columns; point times shift from
+    scan-header-relative to the IMU-segment base via ``t_offset``."""
+    if seq_cfg.quantize_transfer:
+        pts = scan_f[:, :3].astype(d) * seq_cfg.quant_pos_res
+        t_pts = (scan_f[:, 3].astype(d) + 32767.0) * seq_cfg.quant_t_res \
+            + t_offset
+        intensity = scan_f[:, 4].astype(d) * seq_cfg.quant_int_res
+        pt_valid = scan_f[:, 3] != jnp.int16(-32768)
+    else:
+        pts = scan_f[:, :3]
+        t_pts = scan_f[:, 3] + t_offset
+        intensity = scan_f[:, 4]
+    return pts, t_pts, intensity, pt_valid
+
+
 def _scan_step(window, vmap, preints, fv, scan_f, pt_valid,
                imu_f, scalars,
                kf_q, kf_p, kf_count, traj_q, traj_p,
                debug_rec, features=None,
                *, seq_cfg, win_cfg, map_cfg, geo_cfg, photo_cfg=None,
                linearize_fn=None, map_update_fn=None,
-               marginalize_first=False):
+               marginalize_first=False, append=True):
     """The whole per-scan pipeline as one XLA program — deskew, downsample,
     predict/append, GN with live relinearization, prior absorption,
     device-side keyframe decision + map update + trajectory/debug logging.
     ``n_active`` is the count BEFORE appending (the new state lands in slot
     ``n_active``).
+
+    ``append=False`` is the SUCCESS_SAME_KEY path (ref
+    graph/manager.cpp:424-439 + sensor_manager_base.hpp:242): fewer than
+    min_imu_between_states IMU samples separate the scan end from the
+    newest state, so instead of declaring a new state the scan's factors
+    attach to that state — the same collapse approximation the reference
+    makes when it rekeys factors onto the existing key.
 
     scan_f: [N,5] packed (x, y, z, t_rel, intensity); imu_f: [M,7] packed
     (acc3, gyro3, dt) with timestamps implied by cumulative dt.
@@ -770,24 +904,22 @@ def _scan_step(window, vmap, preints, fv, scan_f, pt_valid,
             lambda a: jnp.concatenate([a[1:], a[-1:]], axis=0), preints)
         fv = jnp.concatenate([fv[1:], jnp.zeros(1, bool)])
 
-    if seq_cfg.quantize_transfer:
-        # int16 dequantization; sentinel t == -32768 encodes invalid lanes
-        pts = scan_f[:, :3].astype(d) * seq_cfg.quant_pos_res
-        t_pts = (scan_f[:, 3].astype(d) + 32767.0) * seq_cfg.quant_t_res \
-            + t_offset
-        intensity = scan_f[:, 4].astype(d) * seq_cfg.quant_int_res
-        pt_valid = scan_f[:, 3] != jnp.int16(-32768)
-    else:
-        pts = scan_f[:, :3]
-        t_pts = scan_f[:, 3] + t_offset
-        intensity = scan_f[:, 4]
+    pts, t_pts, intensity, pt_valid = _decode_scan(scan_f, pt_valid,
+                                                   t_offset, seq_cfg, d)
     accs = imu_f[:, 0:3]
     gyros = imu_f[:, 3:6]
     dts = imu_f[:, 6]
     seg_valid = imu_f[:, 7] > 0.5
     imu_ts = jnp.concatenate([jnp.zeros(1, d), jnp.cumsum(dts)[:-1]])
 
-    last = n_active - 1
+    if append:
+        last = n_active - 1
+    else:
+        # attach mode: scalars[0] = deskew base slot, scalars[5] = the
+        # state the scan's factors act on (equal for in-order same-key;
+        # base = attach-1 when collapsing onto the NEXT neighbor of an
+        # out-of-order scan)
+        last = n_active
     q0, p0, v0 = window.q[last], window.p[last], window.v[last]
     bg, ba = window.bg[last], window.ba[last]
     g_vec = window.g_dir * seq_cfg.g_mag
@@ -798,17 +930,23 @@ def _scan_step(window, vmap, preints, fv, scan_f, pt_valid,
     dsk = dk.deskew(pts, t_pts, pt_valid, q0, p0, v0, accs, gyros,
                     imu_ts, bg, ba, g_vec, q_bl, t_bl, t_end)
 
-    # 2) preintegrate the IMU factor segment last->new
-    seg = pre.preintegrate(accs, gyros, dts, bg, ba,
-                           seq_cfg.acc_var, seq_cfg.gyro_var,
-                           valid=seg_valid)
-    preints = _set_segment(preints, last, seg)
-    fv = fv.at[last].set(True)
+    if append:
+        # 2) preintegrate the IMU factor segment last->new
+        seg = pre.preintegrate(accs, gyros, dts, bg, ba,
+                               seq_cfg.acc_var, seq_cfg.gyro_var,
+                               valid=seg_valid)
+        preints = _set_segment(preints, last, seg)
+        fv = fv.at[last].set(True)
 
-    # 3) append the predicted state
-    window = win.append_state(window, dsk.q_w_be, dsk.p_w_be, dsk.v_w_be,
-                              bg, ba, t_end)
-    slot = n_active
+        # 3) append the predicted state
+        window = win.append_state(window, dsk.q_w_be, dsk.p_w_be,
+                                  dsk.v_w_be, bg, ba, t_end)
+        slot = n_active
+    else:
+        # same-key: the scan's factors act on an existing state (within
+        # min_imu_between_states samples of the scan end — the reference's
+        # collapse approximation)
+        slot = scalars[5].astype(jnp.int32)
 
     # 4) body-frame points + geometric downsample
     pts_b = lie.se3_transform(q_bl, t_bl, dsk.points_le)
@@ -1035,6 +1173,82 @@ def _insert_preint_segments(preints, fv, pos, seg_a, seg_b):
     preints = jax.tree_util.tree_map(shift, preints, seg_a, seg_b)
     fv = shift(fv, jnp.asarray(True), jnp.asarray(True))
     return preints, fv
+
+
+def _scan_ooo_step(window, vmap, preints, fv, scan_f, pt_valid, imu_a,
+                   imu_b, scalars, debug_rec, *, seq_cfg, win_cfg, map_cfg,
+                   geo_cfg):
+    """Out-of-order scan declare+define: insert a state at ``pos``
+    (traced), re-integrate the two surrounding IMU segments (the TPU
+    redesign of the reference's IMU-factor breaking,
+    graph/manager.cpp:267-417), deskew the scan over segment A based at
+    the previous state, then GN with the ICP factor on the inserted slot
+    and absorb into the prior.
+
+    Map/keyframe/trajectory updates are intentionally skipped: the scan is
+    older than the trajectory head, and the keyframe policy is defined
+    against the current head (the reference republishes only the current
+    state too). Points timestamped before the previous state clamp to the
+    segment start pose during deskew."""
+    d = window.p.dtype
+    pos = scalars[0].astype(jnp.int32)
+    t_end = scalars[1]
+    scan_idx = scalars[3].astype(jnp.int32)
+    t_offset = scalars[4]
+    pts, t_pts, _, pt_valid = _decode_scan(scan_f, pt_valid, t_offset,
+                                           seq_cfg, d)
+    prev = pos - 1
+    bg, ba = window.bg[prev], window.ba[prev]
+    g_vec = window.g_dir * seq_cfg.g_mag
+    accs_a, gyros_a = imu_a[:, 0:3], imu_a[:, 3:6]
+    dts_a, va = imu_a[:, 6], imu_a[:, 7] > 0.5
+    accs_b, gyros_b = imu_b[:, 0:3], imu_b[:, 3:6]
+    dts_b, vb = imu_b[:, 6], imu_b[:, 7] > 0.5
+
+    seg_a = pre.preintegrate(accs_a, gyros_a, dts_a, bg, ba, seq_cfg.acc_var,
+                             seq_cfg.gyro_var, valid=va)
+    seg_b = pre.preintegrate(accs_b, gyros_b, dts_b, bg, ba, seq_cfg.acc_var,
+                             seq_cfg.gyro_var, valid=vb)
+    qn, pn, vn = pre.predict(seg_a, window.q[prev], window.p[prev],
+                             window.v[prev], g_vec)
+
+    # deskew based at prev BEFORE insertion (slot indices < pos are stable)
+    imu_ts_a = jnp.concatenate([jnp.zeros(1, d), jnp.cumsum(dts_a)[:-1]])
+    q_bl = jnp.asarray(seq_cfg.q_b_l, d)
+    t_bl = jnp.asarray(seq_cfg.t_b_l, d)
+    dsk = dk.deskew(pts, t_pts, pt_valid, window.q[prev], window.p[prev],
+                    window.v[prev], accs_a, gyros_a, imu_ts_a, bg, ba,
+                    g_vec, q_bl, t_bl, t_end)
+
+    window = win.insert_state_at(window, pos, qn, pn, vn, bg, ba, 0.0,
+                                 win_cfg)
+    preints, fv = _insert_preint_segments(preints, fv, pos, seg_a, seg_b)
+    slot = pos
+
+    pts_b = lie.se3_transform(q_bl, t_bl, dsk.points_le)
+    pts_geo, geo_valid, _ = voxel_downsample(
+        pts_b, pt_valid, seq_cfg.geo_leaf, seq_cfg.n_geo_points)
+    matches = geo.match(vmap, pts_geo, window.q[slot], window.p[slot],
+                        map_cfg)
+    imu_cache = win.imu_factor_cache(window, preints, win_cfg)
+    icp = None
+    for _ in range(seq_cfg.n_gn_iters):
+        icp = geo.linearize_with(matches, pts_geo, geo_valid,
+                                 window.q[slot], window.p[slot], geo_cfg,
+                                 g_dir=window.g_dir)
+        H, rhs = win.build_system(window, preints, fv, win_cfg,
+                                  meas=[(win.pose_idx(slot), icp.H, icp.b)],
+                                  imu_cache=imu_cache)
+        dx = win.solve(H, rhs)
+        window = win.apply_update(window, dx, win_cfg)
+    icp = geo.linearize_with(matches, pts_geo, geo_valid, window.q[slot],
+                             window.p[slot], geo_cfg, g_dir=window.g_dir)
+    window = win.rebase_prior(window, win_cfg)
+    window = win.add_measurement_block(window, win.pose_idx(slot), icp.H,
+                                       icp.b, win_cfg)
+    rec = jnp.zeros(16, d).at[0].set(icp.num_inlier.astype(d))
+    debug_rec = debug_rec.at[scan_idx].set(rec)
+    return window, vmap, preints, fv, debug_rec
 
 
 def _radar_ooo_step(window, preints, fv, accs_a, gyros_a, dts_a, valid_a,

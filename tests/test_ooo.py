@@ -142,3 +142,122 @@ def test_sequencer_radar_ooo_insertion():
     assert np.isfinite(p_last).all()
     # state timestamps strictly increasing
     assert all(a < b for a, b in zip(s.state_ts, s.state_ts[1:]))
+
+
+def test_sequencer_scan_same_key_attaches():
+    """A scan landing < min_imu_between_states IMU samples after the newest
+    state must attach its ICP factors to that state (SUCCESS_SAME_KEY, ref
+    sensor_manager_base.hpp:242 + graph/manager.cpp:424-439), not be
+    dropped: the pose refines and the map can still update."""
+    import jax.numpy as jnp
+
+    from mimosa_tpu.graph import sequencer as seq
+    from mimosa_tpu.io import synthetic as syn
+    from mimosa_tpu.lidar import geometric as geo
+    from mimosa_tpu.mapping import voxel_hash as vh
+
+    world = syn.room_world()
+    tc = syn.TrajectoryConfig(t_total=4.0)
+    lm = syn.LidarModel()
+    data = syn.generate(world, tc, lm, seed=0)
+
+    s = seq.Sequencer(
+        seq_cfg=seq.SequencerConfig(
+            max_scan_points=4096, n_geo_points=4096, n_map_points=8192,
+            geo_leaf=0.4, map_insert_leaf=0.15, keyframe_trans_thresh=0.3,
+            keyframe_rot_thresh=0.15, n_gn_iters=2),
+        win_cfg=win.WindowConfig(K=6),
+        map_cfg=vh.VoxelMapConfig(leaf_size=0.4, capacity_log2=16,
+                                  plane_min_points=5, lru_horizon=0),
+        geo_cfg=geo.GeometricConfig(sigma=0.05, loc_count_thresh=50.0),
+        dtype=jnp.float32)
+
+    imu = data["imu"]
+    ii = 0
+    for k, scan in enumerate(data["scans"][:12]):
+        t_end = scan["ts_header"] + scan["t_rel"].max()
+        while ii < len(imu["ts"]) and imu["ts"][ii] <= t_end + 0.03:
+            s.add_imu(imu["ts"][ii], imu["acc"][ii], imu["gyro"][ii])
+            ii += 1
+        s.add_scan(scan["ts_header"], scan["points"], scan["t_rel"],
+                   scan["valid"])
+        if s.initialized and k >= 4:
+            # replay the same scan shifted 1 ms later: lands inside the
+            # same-key window of the state just declared
+            n_before = s.n_active
+            ts_before = s.last_state_ts
+            s.add_scan(scan["ts_header"] + 0.001, scan["points"],
+                       scan["t_rel"], scan["valid"])
+            assert s.n_active == n_before          # no new state
+            assert s.last_state_ts == ts_before
+    assert s.counters["scans_same_key"] >= 7, s.counters
+    # the attached factors kept the estimate consistent (debug records
+    # exist for same-key scans too, and inliers were found)
+    rec = np.asarray(s.debug_records())
+    assert rec.shape[0] == s.counters["scans"] - 1  # minus init scan
+    same_key_rows = rec[2::2]   # every second processed scan is a replay
+    assert (same_key_rows[:, 0] > 50).all(), same_key_rows[:, 0]
+    p = np.asarray([p for _, p, _ in s.trajectory])
+    assert np.isfinite(p).all()
+
+
+def test_sequencer_scan_ooo_insertion():
+    """A scan older than the newest state (beyond the same-key window but
+    within max latency) must be inserted mid-window with IMU re-integration
+    (ref graph/manager.cpp:267-417), or collapsed onto a neighbor — never
+    dropped."""
+    import jax.numpy as jnp
+
+    from mimosa_tpu.graph import sequencer as seq
+    from mimosa_tpu.io import synthetic as syn
+    from mimosa_tpu.lidar import geometric as geo
+    from mimosa_tpu.mapping import voxel_hash as vh
+
+    world = syn.room_world()
+    tc = syn.TrajectoryConfig(t_total=4.0)
+    lm = syn.LidarModel()
+    data = syn.generate(world, tc, lm, seed=0)
+
+    s = seq.Sequencer(
+        seq_cfg=seq.SequencerConfig(
+            max_scan_points=4096, n_geo_points=4096, n_map_points=8192,
+            geo_leaf=0.4, map_insert_leaf=0.15, keyframe_trans_thresh=0.3,
+            keyframe_rot_thresh=0.15, n_gn_iters=2,
+            max_measurement_latency=0.5),
+        win_cfg=win.WindowConfig(K=6),
+        map_cfg=vh.VoxelMapConfig(leaf_size=0.4, capacity_log2=16,
+                                  plane_min_points=5, lru_horizon=0),
+        geo_cfg=geo.GeometricConfig(sigma=0.05, loc_count_thresh=50.0),
+        dtype=jnp.float32)
+
+    imu = data["imu"]
+    ii = 0
+    n_ooo_fed = 0
+    for k, scan in enumerate(data["scans"][:14]):
+        t_end = scan["ts_header"] + scan["t_rel"].max()
+        while ii < len(imu["ts"]) and imu["ts"][ii] <= t_end + 0.03:
+            s.add_imu(imu["ts"][ii], imu["acc"][ii], imu["gyro"][ii])
+            ii += 1
+        s.add_scan(scan["ts_header"], scan["points"], scan["t_rel"],
+                   scan["valid"])
+        if s.initialized and k >= 5 and k % 2 == 1:
+            # re-inject the PREVIOUS scan shifted to land mid-window,
+            # 150 ms behind the newest state (a second lidar's arrival)
+            old = data["scans"][k - 1]
+            shift = (t_end - 0.15) - (old["ts_header"]
+                                      + old["t_rel"].max())
+            s.add_scan(old["ts_header"] + shift, old["points"],
+                       old["t_rel"], old["valid"])
+            n_ooo_fed += 1
+    c = s.counters
+    handled = c.get("scans_ooo_inserted", 0) + c.get("scans_ooo_samekey", 0)
+    assert n_ooo_fed >= 4
+    assert handled == n_ooo_fed, c
+    assert c.get("scans_dropped_ooo", 0) == 0, c
+    # window + trajectory stay finite and ordered after insertions
+    assert list(s.state_ts) == sorted(s.state_ts)
+    assert len(s.state_ts) == s.n_active
+    p = np.asarray([p for _, p, _ in s.trajectory])
+    assert np.isfinite(p).all()
+    q = np.asarray(s.window.q)
+    assert np.isfinite(q).all()
