@@ -88,6 +88,12 @@ class SequencerConfig:
     # make the loop's correspondences equally valid; a fresh match costs
     # ~3x one relinearization)
     refresh_match_on_absorb: bool = False
+    # fold the sliding-window marginalization into the scan program (one
+    # device dispatch per scan instead of two). On a tunneled device each
+    # dispatch costs a full RPC round-trip which dominates per-scan wall
+    # time; on a local chip the separate dispatch overlaps host pack work
+    # instead — measure per deployment.
+    merge_marginalize: bool = False
     # per-point mid-GN re-association of points that moved further than
     # leaf/4 since their last association (ref geometric_factor.hpp:280-317).
     # Guarded by lax.cond: free in the converged regime (mm updates never
@@ -524,12 +530,15 @@ class Sequencer:
             inten[:min(len(intensity), n)] = np.nan_to_num(
                 intensity[:min(len(intensity), n)])
             # pack per-scan inputs to minimize H2D transfers (each transfer
-            # is an RPC on a tunneled device); optional int16 quantization
-            # halves the bytes again (sentinel t = -32768 marks invalid
-            # lanes, so the validity mask costs nothing)
+            # is an RPC on a tunneled device, and link bytes bound the
+            # per-scan pipeline); optional int16 quantization halves the
+            # bytes (sentinel t = -32768 marks invalid lanes, so the
+            # validity mask costs nothing); the intensity column ships
+            # only when the photometric module consumes it (-20% bytes)
+            ncol = 5 if self.photo_cfg is not None else 4
             if self.cfg.quantize_transfer:
                 c = self.cfg
-                scan_q = np.empty((n, 5), np.int16)
+                scan_q = np.empty((n, ncol), np.int16)
                 scan_q[:, :3] = np.clip(np.round(pts / c.quant_pos_res),
                                         -32767, 32767)
                 # valid t in [-32767, 32767], sentinel -32768 = invalid
@@ -537,14 +546,17 @@ class Sequencer:
                     vd,
                     np.clip(np.round(tp / c.quant_t_res), 0, 65534) - 32767,
                     -32768)
-                scan_q[:, 4] = np.clip(np.round(inten / c.quant_int_res),
-                                       0, 32767)
+                if ncol == 5:
+                    scan_q[:, 4] = np.clip(
+                        np.round(inten / c.quant_int_res), 0, 32767)
                 scan_dev = jnp.asarray(scan_q)
                 valid_dev = None
             else:
-                scan_dev = jnp.asarray(
-                    np.concatenate([pts, tp[:, None], inten[:, None]],
-                                   axis=1), self.dtype)
+                cols = [pts, tp[:, None]]
+                if ncol == 5:
+                    cols.append(inten[:, None])
+                scan_dev = jnp.asarray(np.concatenate(cols, axis=1),
+                                       self.dtype)
                 valid_dev = jnp.asarray(vd)
         return dict(ts_header=float(ts_header), t_end=t_end,
                     scan_dev=scan_dev, valid_dev=valid_dev, raw=raw)
@@ -589,37 +601,50 @@ class Sequencer:
         t_end_rel = t_end - base
         t_offset = ts_header - base
 
-        # marginalize as a SEPARATE async dispatch: the device slides the
-        # window while the host packs the IMU segment (overlap) — merging
-        # it into the scan step measured slower (same-key attaches to an
-        # existing state, so no slot is needed)
-        if not same_key and self.n_active == self.win_cfg.K:
+        # marginalize: either a SEPARATE async dispatch (the device slides
+        # the window while the host packs the IMU segment) or folded into
+        # the scan program (merge_marginalize — saves one RPC round-trip
+        # per scan on dispatch-latency-bound deployments). Same-key
+        # attaches to an existing state, so no slot is needed.
+        do_marg = not same_key and self.n_active == self.win_cfg.K
+        if do_marg and not self.cfg.merge_marginalize:
             self._marginalize_host()
+        elif do_marg:
+            self.n_active -= 1
+            if self.state_ts:
+                self.state_ts.pop(0)
+            prev = getattr(self, "_odom_prev", None)
+            if prev is not None:
+                prev["slot"] -= 1
 
-        imu_f = np.concatenate([accs, gyros, dts[:, None],
-                                seg_valid[:, None].astype(np.float64)],
-                               axis=1)
         # same-key refreshes the newest state's trajectory entry in place;
         # scalars[0] doubles as the deskew-base slot and scalars[5] as the
         # attach slot in attach mode (see _scan_step)
         if same_key:
             traj_idx = len(self._traj_ts) - 1
-            scalars = np.asarray([self.n_active - 1, t_end_rel, traj_idx,
-                                  self.scan_idx, t_offset,
-                                  self.n_active - 1])
+            scalars = [self.n_active - 1, t_end_rel, traj_idx,
+                       self.scan_idx, t_offset, self.n_active - 1]
         else:
-            scalars = np.asarray([self.n_active, t_end_rel,
-                                  len(self._traj_ts), self.scan_idx,
-                                  t_offset, 0])
+            scalars = [self.n_active, t_end_rel, len(self._traj_ts),
+                       self.scan_idx, t_offset, 0]
+        # one packed buffer = one fewer RPC per scan: the relay's
+        # per-message latency, not bytes, bounds the per-scan pipeline
+        m = len(dts)
+        imu_pack = np.zeros((m + 1, 8))
+        imu_pack[:m, 0:3] = accs
+        imu_pack[:m, 3:6] = gyros
+        imu_pack[:m, 6] = dts
+        imu_pack[:m, 7] = seg_valid
+        imu_pack[m, :6] = scalars
 
-        step = self._get_scan_step(False, append=not same_key)
+        step = self._get_scan_step(
+            do_marg and self.cfg.merge_marginalize, append=not same_key)
         (self.window, self.vmap, self.preints, self.fv, self.features,
          self.kf_q, self.kf_p, self.kf_count, self.traj_q, self.traj_p,
          self.debug_rec) = step(
             self.window, self.vmap, self.preints, self.fv,
             staged["scan_dev"], staged["valid_dev"],
-            jnp.asarray(imu_f, self.dtype),
-            jnp.asarray(scalars, self.dtype),
+            jnp.asarray(imu_pack, self.dtype),
             self.kf_q, self.kf_p, self.kf_count,
             self.traj_q, self.traj_p,
             self.debug_rec,
@@ -670,21 +695,24 @@ class Sequencer:
             ts_seg, accs, gyros, dts, seg_valid, _ = self.imu.segment(
                 prev_ts, t_end, self.cfg.max_imu_per_segment)
             base = ts_seg[0]
-            imu_f = np.concatenate([accs, gyros, dts[:, None],
-                                    seg_valid[:, None].astype(np.float64)],
-                                   axis=1)
             # scratch trajectory slot: OOO refinements do not rewrite the
             # TUM history (the reference republishes only current state)
-            scalars = np.asarray([pos - 1, t_end - base,
-                                  self.cfg.max_trajectory - 1,
-                                  self.scan_idx, ts_header - base, attach])
+            m = len(dts)
+            imu_pack = np.zeros((m + 1, 8))
+            imu_pack[:m, 0:3] = accs
+            imu_pack[:m, 3:6] = gyros
+            imu_pack[:m, 6] = dts
+            imu_pack[:m, 7] = seg_valid
+            imu_pack[m, :6] = [pos - 1, t_end - base,
+                               self.cfg.max_trajectory - 1,
+                               self.scan_idx, ts_header - base, attach]
             step = self._get_scan_step(False, append=False)
             (self.window, self.vmap, self.preints, self.fv, self.features,
              self.kf_q, self.kf_p, self.kf_count, self.traj_q, self.traj_p,
              self.debug_rec) = step(
                 self.window, self.vmap, self.preints, self.fv,
                 staged["scan_dev"], staged["valid_dev"],
-                jnp.asarray(imu_f, d), jnp.asarray(scalars, d),
+                jnp.asarray(imu_pack, d),
                 self.kf_q, self.kf_p, self.kf_count,
                 self.traj_q, self.traj_p, self.debug_rec, self.features)
             self.scan_idx += 1
@@ -834,22 +862,27 @@ def _set_segment(preints, i, seg):
 def _decode_scan(scan_f, pt_valid, t_offset, seq_cfg, d):
     """Unpack a staged scan: int16 dequantization (sentinel t == -32768
     encodes invalid lanes) or plain f32 columns; point times shift from
-    scan-header-relative to the IMU-segment base via ``t_offset``."""
+    scan-header-relative to the IMU-segment base via ``t_offset``. The
+    intensity column is shipped only for photometric configs (4-column
+    packs decode to zero intensity)."""
+    has_inten = scan_f.shape[1] >= 5
     if seq_cfg.quantize_transfer:
         pts = scan_f[:, :3].astype(d) * seq_cfg.quant_pos_res
         t_pts = (scan_f[:, 3].astype(d) + 32767.0) * seq_cfg.quant_t_res \
             + t_offset
-        intensity = scan_f[:, 4].astype(d) * seq_cfg.quant_int_res
+        intensity = scan_f[:, 4].astype(d) * seq_cfg.quant_int_res \
+            if has_inten else jnp.zeros(scan_f.shape[0], d)
         pt_valid = scan_f[:, 3] != jnp.int16(-32768)
     else:
         pts = scan_f[:, :3]
         t_pts = scan_f[:, 3] + t_offset
-        intensity = scan_f[:, 4]
+        intensity = scan_f[:, 4] if has_inten \
+            else jnp.zeros(scan_f.shape[0], d)
     return pts, t_pts, intensity, pt_valid
 
 
 def _scan_step(window, vmap, preints, fv, scan_f, pt_valid,
-               imu_f, scalars,
+               imu_f,
                kf_q, kf_p, kf_count, traj_q, traj_p,
                debug_rec, features=None,
                *, seq_cfg, win_cfg, map_cfg, geo_cfg, photo_cfg=None,
@@ -886,11 +919,17 @@ def _scan_step(window, vmap, preints, fv, scan_f, pt_valid,
         linearize_fn._is_default = True
     if map_update_fn is None:
         def map_update_fn(vmap_, pts_, valid_, idx_):
-            vmap_ = vh.insert(vmap_, pts_, valid_, idx_, map_cfg)
+            vmap_, slots = vh.insert(vmap_, pts_, valid_, idx_, map_cfg,
+                                     return_slots=True)
             vmap_ = vh.evict_stale(vmap_, idx_, map_cfg)
-            return vh.update_planes(vmap_, map_cfg)
+            # refit only the touched voxels: a full-capacity plane sweep
+            # per scan dominated the device program (measured)
+            return vh.update_planes_at(vmap_, slots, map_cfg)
     d = window.p.dtype
-    # unpack the scalar block (transferred as one tiny f32 vector)
+    # the last imu_f row carries the scalar block (packed into the same
+    # transfer — per-message relay latency bounds the per-scan pipeline)
+    scalars = imu_f[-1]
+    imu_f = imu_f[:-1]
     n_active = scalars[0].astype(jnp.int32)
     t_end = scalars[1]
     traj_idx = scalars[2].astype(jnp.int32)

@@ -144,7 +144,8 @@ def find_slots(vmap: VoxelMap, vc, cfg: VoxelMapConfig, probes=None):
     return slot, found
 
 
-def insert(vmap: VoxelMap, points, valid, scan_idx, cfg: VoxelMapConfig) -> VoxelMap:
+def insert(vmap: VoxelMap, points, valid, scan_idx, cfg: VoxelMapConfig,
+           return_slots=False):
     """Insert world-frame points [N,3] (bool mask ``valid``) at scan ``scan_idx``.
 
     Race-free parallel hash insertion: per probe round, unresolved lanes
@@ -224,6 +225,10 @@ def insert(vmap: VoxelMap, points, valid, scan_idx, cfg: VoxelMapConfig) -> Voxe
         last_touch=vmap.last_touch.at[tgt].max(
             jnp.full(n_pts, scan_idx, jnp.int32)),
     )
+    if return_slots:
+        # touched slots (cap sentinel for dropped lanes) — lets the caller
+        # refit only the planes this insert changed (update_planes_at)
+        return new, jnp.where(resolved & valid, slot, cap)
     return new
 
 
@@ -246,15 +251,13 @@ def evict_stale(vmap: VoxelMap, scan_idx, cfg: VoxelMapConfig) -> VoxelMap:
     )
 
 
-def update_planes(vmap: VoxelMap, cfg: VoxelMapConfig) -> VoxelMap:
-    """Refit every voxel's plane from its accumulated moments (vectorized
-    closed-form 3x3 eigendecomposition; replaces the reference's per-query
-    kNN plane fit geometric_factor.hpp:176-229)."""
-    dtype = vmap.psum.dtype
-    n = jnp.maximum(vmap.n, 1.0)
-    mean = vmap.psum / n[:, None]
-    s = vmap.pssum / n[:, None]
-    xx, xy, xz, yy, yz, zz = (s[:, 0], s[:, 1], s[:, 2], s[:, 3], s[:, 4], s[:, 5])
+def _fit_planes(n_raw, occupied, psum, pssum, cfg, dtype):
+    """Plane fit from accumulated moments -> (mean, normal, valid)."""
+    n = jnp.maximum(n_raw, 1.0)
+    mean = psum / n[:, None]
+    s = pssum / n[:, None]
+    xx, xy, xz, yy, yz, zz = (s[:, 0], s[:, 1], s[:, 2], s[:, 3], s[:, 4],
+                              s[:, 5])
     m = mean
     cov = jnp.stack([
         xx - m[:, 0] * m[:, 0], xy - m[:, 0] * m[:, 1], xz - m[:, 0] * m[:, 2],
@@ -264,9 +267,35 @@ def update_planes(vmap: VoxelMap, cfg: VoxelMapConfig) -> VoxelMap:
     lam, nrm = smallest_eigvec3(cov)
     thick_ok = lam[:, 0] <= jnp.asarray(cfg.plane_max_thickness**2, dtype)
     not_line = cfg.line_eig_ratio * lam[:, 1] >= lam[:, 2]
-    valid = vmap.occupied & (vmap.n >= cfg.plane_min_points) & thick_ok & not_line
+    valid = occupied & (n_raw >= cfg.plane_min_points) & thick_ok & not_line
+    return mean, nrm, valid
+
+
+def update_planes(vmap: VoxelMap, cfg: VoxelMapConfig) -> VoxelMap:
+    """Refit every voxel's plane from its accumulated moments (vectorized
+    closed-form 3x3 eigendecomposition; replaces the reference's per-query
+    kNN plane fit geometric_factor.hpp:176-229)."""
+    mean, nrm, valid = _fit_planes(vmap.n, vmap.occupied, vmap.psum,
+                                   vmap.pssum, cfg, vmap.psum.dtype)
     valid = valid.at[-1].set(False)
     return vmap._replace(mean=mean, normal=nrm, plane_valid=valid)
+
+
+def update_planes_at(vmap: VoxelMap, slots, cfg: VoxelMapConfig) -> VoxelMap:
+    """Refit only the voxels in ``slots`` (the rows an insert touched, cap
+    sentinel for dropped lanes). An insert touches at most one scan's worth
+    of voxels, so this replaces an O(capacity) eigendecomposition sweep per
+    scan with an O(scan) one — duplicate slots recompute identical values,
+    so the scatter is race-free."""
+    dtype = vmap.psum.dtype
+    mean, nrm, valid = _fit_planes(vmap.n[slots], vmap.occupied[slots],
+                                   vmap.psum[slots], vmap.pssum[slots],
+                                   cfg, dtype)
+    return vmap._replace(
+        mean=vmap.mean.at[slots].set(mean),
+        normal=vmap.normal.at[slots].set(nrm),
+        plane_valid=vmap.plane_valid.at[slots].set(valid).at[-1].set(False),
+    )
 
 
 def query_planes(vmap: VoxelMap, points, cfg: VoxelMapConfig):

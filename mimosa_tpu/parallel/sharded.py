@@ -72,9 +72,10 @@ def sharded_insert(vmap_s, points, valid, scan_idx, map_cfg: vh.VoxelMapConfig,
         mp_i = jax.lax.axis_index("mp")
         own = _owner_ok(pts, jnp.asarray(map_cfg.leaf_size, pts.dtype),
                         n_mp, mp_i)
-        m = vh.insert(local, pts, vd & own, idx, map_cfg)
+        m, slots = vh.insert(local, pts, vd & own, idx, map_cfg,
+                             return_slots=True)
         m = vh.evict_stale(m, idx, map_cfg)
-        m = vh.update_planes(m, map_cfg)
+        m = vh.update_planes_at(m, slots, map_cfg)
         return jax.tree_util.tree_map(lambda a: a[None], m)
 
     return jax.shard_map(

@@ -121,3 +121,29 @@ def test_voxel_downsample():
     # padding invalid lanes never selected
     out2, ov2, _ = voxel_downsample(pts, valid.at[100:].set(False), 1.0, 256)
     assert int(jnp.sum(ov2)) <= 100
+
+
+def test_update_planes_at_matches_full():
+    """Incremental plane refit of only the inserted slots must produce the
+    same map state as a full-capacity sweep (the per-scan path refits only
+    touched voxels — an O(capacity) eigendecomposition sweep per scan
+    dominated the device program)."""
+    m = vh.create(CFG)
+    a = plane_points(0, 3000, [0, 0, 1.0], 0.0, noise=0.01)
+    m = vh.insert(m, a, jnp.ones(3000, bool), 0, CFG)
+    m = vh.update_planes(m, CFG)
+
+    b = plane_points(1, 2000, [1.0, 0, 0], 2.0, noise=0.01)
+    m2, slots = vh.insert(m, b, jnp.ones(2000, bool), 1, CFG,
+                          return_slots=True)
+    m2 = vh.evict_stale(m2, 1, CFG)
+    inc = vh.update_planes_at(m2, slots, CFG)
+    full = vh.update_planes(vh.evict_stale(m2, 1, CFG), CFG)
+    np.testing.assert_array_equal(np.asarray(inc.plane_valid),
+                                  np.asarray(full.plane_valid))
+    pv = np.asarray(full.plane_valid)
+    np.testing.assert_allclose(np.asarray(inc.mean)[pv],
+                               np.asarray(full.mean)[pv], atol=1e-6)
+    dot = np.abs(np.sum(np.asarray(inc.normal)[pv]
+                        * np.asarray(full.normal)[pv], axis=-1))
+    assert (dot > 1 - 1e-5).all()
