@@ -741,11 +741,12 @@ class Sequencer:
                               ts_header - base, 0])
         step = self._get_scan_ooo_step()
         (self.window, self.vmap, self.preints, self.fv,
-         self.debug_rec) = step(
+         self.debug_rec, self.kf_q, self.kf_p, self.kf_count) = step(
             self.window, self.vmap, self.preints, self.fv,
             staged["scan_dev"], staged["valid_dev"],
             jnp.asarray(imu_a, d), jnp.asarray(imu_b, d),
-            jnp.asarray(scalars, d), self.debug_rec)
+            jnp.asarray(scalars, d), self.debug_rec,
+            self.kf_q, self.kf_p, self.kf_count)
         self.scan_idx += 1
         self.n_active += 1
         self.state_ts.insert(pos, t_end)
@@ -1215,8 +1216,8 @@ def _insert_preint_segments(preints, fv, pos, seg_a, seg_b):
 
 
 def _scan_ooo_step(window, vmap, preints, fv, scan_f, pt_valid, imu_a,
-                   imu_b, scalars, debug_rec, *, seq_cfg, win_cfg, map_cfg,
-                   geo_cfg):
+                   imu_b, scalars, debug_rec, kf_q, kf_p, kf_count,
+                   *, seq_cfg, win_cfg, map_cfg, geo_cfg):
     """Out-of-order scan declare+define: insert a state at ``pos``
     (traced), re-integrate the two surrounding IMU segments (the TPU
     redesign of the reference's IMU-factor breaking,
@@ -1224,11 +1225,12 @@ def _scan_ooo_step(window, vmap, preints, fv, scan_f, pt_valid, imu_a,
     the previous state, then GN with the ICP factor on the inserted slot
     and absorb into the prior.
 
-    Map/keyframe/trajectory updates are intentionally skipped: the scan is
-    older than the trajectory head, and the keyframe policy is defined
-    against the current head (the reference republishes only the current
-    state too). Points timestamped before the previous state clamp to the
-    segment start pose during deskew."""
+    The scan densifies the map under the same keyframe policy as the main
+    path (distance/angle vs the existing keyframe set, evaluated at the
+    inserted state's refined pose). Trajectory logging is skipped: the
+    scan is older than the trajectory head and the reference republishes
+    only the current state. Points timestamped before the previous state
+    clamp to the segment start pose during deskew."""
     d = window.p.dtype
     pos = scalars[0].astype(jnp.int32)
     t_end = scalars[1]
@@ -1285,9 +1287,38 @@ def _scan_ooo_step(window, vmap, preints, fv, scan_f, pt_valid, imu_a,
     window = win.rebase_prior(window, win_cfg)
     window = win.add_measurement_block(window, win.pose_idx(slot), icp.H,
                                        icp.b, win_cfg)
+
+    # keyframe-gated map densification at the refined pose — same policy
+    # as the main path (ref geometric.cpp:440-478); an OOO scan seen from
+    # a new viewpoint still extends the map
+    q_new, p_new = window.q[slot], window.p[slot]
+    kf_idx = jnp.arange(seq_cfg.max_keyframes)
+    kf_mask = kf_idx < kf_count
+    dmin = jnp.min(jnp.where(
+        kf_mask, jnp.linalg.norm(kf_p - p_new[None], axis=-1), jnp.inf))
+    dots = jnp.abs(kf_q @ q_new)
+    amin = jnp.min(jnp.where(kf_mask, 2.0 * jnp.arccos(
+        jnp.clip(dots, -1.0, 1.0)), jnp.inf))
+    is_kf = (kf_count < seq_cfg.num_initial_keyframes) | \
+        (dmin > seq_cfg.keyframe_trans_thresh) | \
+        (amin > seq_cfg.keyframe_rot_thresh)
+    q_wl, t_wl = lie.se3_compose(q_new, p_new, q_bl, t_bl)
+    pts_w = lie.se3_transform(q_wl, t_wl, dsk.points_le)
+    map_pts, map_valid, _ = voxel_downsample(
+        pts_w, pt_valid, seq_cfg.map_insert_leaf, seq_cfg.n_map_points)
+    vmap2, slots = vh.insert(vmap, map_pts, map_valid & is_kf, scan_idx,
+                             map_cfg, return_slots=True)
+    vmap2 = vh.evict_stale(vmap2, scan_idx, map_cfg)
+    vmap = vh.update_planes_at(vmap2, slots, map_cfg)
+    kf_slot = jnp.where(is_kf, kf_count,
+                        jnp.asarray(seq_cfg.max_keyframes - 1, jnp.int32))
+    kf_q = kf_q.at[kf_slot].set(jnp.where(is_kf, q_new, kf_q[kf_slot]))
+    kf_p = kf_p.at[kf_slot].set(jnp.where(is_kf, p_new, kf_p[kf_slot]))
+    kf_count = kf_count + is_kf.astype(jnp.int32)
+
     rec = jnp.zeros(16, d).at[0].set(icp.num_inlier.astype(d))
     debug_rec = debug_rec.at[scan_idx].set(rec)
-    return window, vmap, preints, fv, debug_rec
+    return window, vmap, preints, fv, debug_rec, kf_q, kf_p, kf_count
 
 
 def _radar_ooo_step(window, preints, fv, accs_a, gyros_a, dts_a, valid_a,

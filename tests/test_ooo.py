@@ -261,3 +261,55 @@ def test_sequencer_scan_ooo_insertion():
     assert np.isfinite(p).all()
     q = np.asarray(s.window.q)
     assert np.isfinite(q).all()
+
+
+def test_sequencer_scan_ooo_densifies_map():
+    """A mid-window OOO scan that meets the keyframe criteria must densify
+    the map (main-path policy, ref geometric.cpp:440-478, applied to the
+    inserted state's refined pose) and register its keyframe."""
+    import jax.numpy as jnp
+
+    from mimosa_tpu.graph import sequencer as seq
+    from mimosa_tpu.io import synthetic as syn
+    from mimosa_tpu.lidar import geometric as geo
+    from mimosa_tpu.mapping import voxel_hash as vh
+
+    world = syn.room_world()
+    tc = syn.TrajectoryConfig(t_total=4.0)
+    lm = syn.LidarModel()
+    data = syn.generate(world, tc, lm, seed=0)
+
+    # microscopic keyframe thresholds: every scan (incl. the OOO one) is a
+    # keyframe, so the OOO insertion must grow the map
+    s = seq.Sequencer(
+        seq_cfg=seq.SequencerConfig(
+            max_scan_points=4096, n_geo_points=4096, n_map_points=8192,
+            geo_leaf=0.4, map_insert_leaf=0.15, keyframe_trans_thresh=1e-4,
+            keyframe_rot_thresh=1e-5, n_gn_iters=2,
+            max_measurement_latency=0.5),
+        win_cfg=win.WindowConfig(K=6),
+        map_cfg=vh.VoxelMapConfig(leaf_size=0.4, capacity_log2=16,
+                                  plane_min_points=5, lru_horizon=0),
+        geo_cfg=geo.GeometricConfig(sigma=0.05, loc_count_thresh=50.0),
+        dtype=jnp.float32)
+
+    imu = data["imu"]
+    ii = 0
+    for k, scan in enumerate(data["scans"][:8]):
+        t_end = scan["ts_header"] + scan["t_rel"].max()
+        while ii < len(imu["ts"]) and imu["ts"][ii] <= t_end + 0.03:
+            s.add_imu(imu["ts"][ii], imu["acc"][ii], imu["gyro"][ii])
+            ii += 1
+        s.add_scan(scan["ts_header"], scan["points"], scan["t_rel"],
+                   scan["valid"])
+    occ_before = int(jnp.sum(s.vmap.occupied))
+    kf_before = int(s.kf_count)
+    # re-inject an earlier scan shifted to land mid-window, 150 ms behind
+    # the newest state (beyond same-key, within max latency)
+    old = data["scans"][6]
+    shift = (t_end - 0.15) - (old["ts_header"] + old["t_rel"].max())
+    s.add_scan(old["ts_header"] + shift, old["points"], old["t_rel"],
+               old["valid"])
+    assert s.counters.get("scans_ooo_inserted", 0) == 1, s.counters
+    assert int(s.kf_count) == kf_before + 1
+    assert int(jnp.sum(s.vmap.occupied)) > occ_before
