@@ -143,6 +143,23 @@ def decode(data, fields, point_step, header_stamp=0.0, fmt=None):
     return dict(points=pts, intensity=inten, t_rel=t_rel, ring=ring, fmt=fmt)
 
 
+def time_base(fmt, header_stamp=0.0):
+    """Per-format time decode base: (t_scale, t_offset) such that
+    ``t_rel = raw * t_scale - t_offset`` reproduces :func:`decode`'s
+    header-relative seconds (the native fused decode takes these as
+    scalars instead of branching per format)."""
+    if fmt in ("ouster", "ouster_r8", "ouster_odyssey", "livox_custom2",
+               "internal"):
+        return 1e-9, 0.0
+    if fmt == "livox":
+        return 1e-9, float(header_stamp)
+    if fmt in ("hesai", "rslidar"):
+        return 1.0, float(header_stamp)
+    if fmt in ("velodyne", "velodyne_anybotics"):
+        return 1.0, 0.0
+    return 0.0, 0.0
+
+
 def decode_radar(data, fields, point_step):
     """Decode a radar cloud (rio / mmWave formats). Returns dict(points
     [N,3], doppler [N], snr_db [N]). The rio format gets the reference's

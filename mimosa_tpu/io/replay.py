@@ -62,6 +62,11 @@ def replay_bag(bag_path, config_path, imu_topic, lidar_topic,
         ring_skip=int(raw_cfg.get("lidar", {}).get("geometric", {})
                       .get("ring_skip_divisor", 1)),
     )
+    # ring-major organization before point skipping (ref lidar/manager.cpp:
+    # 205-242): for clouds NOT delivered row-major, applying the skip
+    # divisor in arrival order would drop whole rings — reorganize by ring
+    # (native counting sort) and skip in ring-major order instead
+    organize = bool(lidar_mgr.get("organize_pointcloud_by_ring", False))
 
     import glob as _glob
     bag_files = sorted(_glob.glob(bag_path)) if any(
@@ -92,8 +97,21 @@ def replay_bag(bag_path, config_path, imu_topic, lidar_topic,
         elif topic == lidar_topic:
             d = pc2.decode(m["data"], m["fields"], m["point_step"],
                            header_stamp=m["stamp"])
-            ok = pc2.point_filters(d["points"], d["intensity"], d["ring"],
-                                   **filters)
+            if organize:
+                from mimosa_tpu import native
+                ok = pc2.point_filters(d["points"], d["intensity"],
+                                       d["ring"],
+                                       **{**filters, "point_skip": 1})
+                skip = filters["point_skip"]
+                if skip > 1 and len(d["ring"]):
+                    n_rings = max(int(d["ring"].max()) + 1, 1)
+                    order = native.ring_sort(d["ring"], n_rings)
+                    keep = np.zeros(len(order), bool)
+                    keep[order[::skip]] = True
+                    ok &= keep
+            else:
+                ok = pc2.point_filters(d["points"], d["intensity"],
+                                       d["ring"], **filters)
             # stage at arrival: the pack + H2D transfer overlap the device
             # work of earlier scans while this one waits for IMU coverage
             st = s.stage_scan(m["stamp"], d["points"], d["t_rel"], ok,

@@ -123,3 +123,25 @@ def decode_filtered(data, fields, point_step, max_out, t_scale=1e-9,
     idx = np.nonzero(ok)[0][:max_out]
     return (d["points"][idx], d["intensity"][idx], t_rel[idx],
             d["ring"][idx])
+
+
+def ring_sort(rings, n_rings):
+    """Ring-major stable permutation of point indices (the reference's
+    organize_pointcloud_by_ring, src/lidar/manager.cpp:205-242): points
+    ordered by ring ascending, arrival-stable within a ring; rings outside
+    [0, n_rings) clamp to the last ring. Returns idx (int64 [n]) such that
+    arrays[idx] is ring-major. Native counting sort when available,
+    numpy stable argsort otherwise (identical output)."""
+    rings = np.ascontiguousarray(np.asarray(rings, np.int32))
+    n = len(rings)
+    lib = get_lib()
+    if lib is not None and n_rings >= 1:
+        idx = np.empty(n, np.int64)
+        scratch = np.empty(n_rings + 1, np.int64)
+        lib.mimosa_ring_sort(
+            _cptr(rings, ctypes.c_int32), ctypes.c_int64(n),
+            ctypes.c_int32(n_rings), _cptr(idx, ctypes.c_int64),
+            _cptr(scratch, ctypes.c_int64))
+        return idx
+    r = np.where((rings < 0) | (rings >= n_rings), n_rings - 1, rings)
+    return np.argsort(r, kind="stable").astype(np.int64)

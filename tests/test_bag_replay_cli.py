@@ -78,3 +78,66 @@ def test_bag_cli_roundtrip(tmp_path):
     ts2, p2, q2 = load_tum(tum)
     assert len(ts2) == len(s.trajectory)
     np.testing.assert_allclose(p2[-1], est_p[-1], atol=1e-5)
+
+
+def test_bag_organize_by_ring_rescues_interleaved(tmp_path):
+    """organize_pointcloud_by_ring (ref lidar/manager.cpp:205-242): on a
+    ring-INTERLEAVED cloud with point_skip_divisor=4, arrival-order
+    skipping keeps only every 4th ring (the failure the reference flag
+    exists for); ring-major organization keeps 1/4 of every ring and the
+    estimator tracks."""
+    import mimosa_tpu.io.rosbag_writer as bw
+    from mimosa_tpu.io.replay import replay_bag
+    from mimosa_tpu.io.synthetic import ate_rmse
+
+    world = syn.room_world()
+    tc = syn.TrajectoryConfig(t_total=3.0)
+    lm = syn.LidarModel(n_rows=32, n_cols=512)
+    base = syn.generate(world, tc, lm, seed=0, imu_noise=0.01,
+                        range_noise=0.005)
+    n_rows, n_cols = lm.n_rows, lm.n_cols
+    bag = str(tmp_path / "interleaved.bag")
+    w = bw.BagWriter(bag)
+    events = [(t, "imu", k) for k, t in enumerate(base["imu"]["ts"])]
+    for k, sc in enumerate(base["scans"]):
+        events.append((sc["ts_header"] + np.nan_to_num(sc["t_rel"]).max()
+                       + 0.01, "scan", k))
+    events.sort(key=lambda e: e[0])
+    imu = base["imu"]
+    for t, kind, k in events:
+        if kind == "imu":
+            w.write("/imu", "sensor_msgs/Imu", imu["ts"][k],
+                    bw.serialize_imu(imu["ts"][k], imu["acc"][k],
+                                     imu["gyro"][k]))
+        else:
+            sc = base["scans"][k]
+            n = len(sc["points"])
+            row = np.repeat(np.arange(n_rows), n_cols)[:n].astype(np.uint16)
+            # column-major arrival: ring index changes fastest
+            perm = np.lexsort((row, np.tile(np.arange(n_cols),
+                                            n_rows)[:n]))
+            tr = np.nan_to_num(sc["t_rel"])[perm]
+            v = sc["valid"][perm]
+            pts = np.where(v[:, None], sc["points"][perm], np.nan)
+            w.write("/points", "sensor_msgs/PointCloud2", t,
+                    bw.serialize_ouster_cloud(sc["ts_header"], pts,
+                                              np.ones(len(pts)), tr,
+                                              ring=row[perm]))
+    w.close()
+
+    import copy
+    params = copy.deepcopy(SYN_PARAMS)
+    params["lidar"]["manager"]["organize_pointcloud_by_ring"] = True
+    params["lidar"]["geometric"]["point_skip_divisor"] = 4
+    cfgp = str(tmp_path / "params.yaml")
+    with open(cfgp, "w") as f:
+        yaml.safe_dump(params, f)
+    s = replay_bag(bag, cfgp, "/imu", "/points", verbose=False,
+                   max_scan_points=n_rows * n_cols)
+    est_ts = np.asarray([t for t, _, _ in s.trajectory])
+    est_p = np.asarray([p for _, p, _ in s.trajectory])
+    ate = ate_rmse(est_ts, est_p, base["gt"]["ts"], base["gt"]["pos"])
+    assert ate < 0.08, ate
+    # every ring survives the organized skip in the staged scans
+    dbg = np.asarray(s.debug_records())
+    assert dbg[3:, 0].min() > 100   # inliers stay healthy after init

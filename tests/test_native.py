@@ -66,3 +66,37 @@ def test_ring_sort(lib):
         scratch.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
     # ring-major, stable within ring
     np.testing.assert_array_equal(idx, [1, 3, 7, 2, 5, 4, 0, 6])
+
+
+def test_ring_sort_wrapper_matches_numpy():
+    """native.ring_sort (counting sort) == stable argsort with the same
+    out-of-range clamp, for both backends."""
+    rng = np.random.default_rng(3)
+    rings = rng.integers(-2, 132, size=4096).astype(np.int32)
+    n_rings = 128
+    idx = native.ring_sort(rings, n_rings)
+    r = np.where((rings < 0) | (rings >= n_rings), n_rings - 1, rings)
+    ref = np.argsort(r, kind="stable")
+    np.testing.assert_array_equal(idx, ref)
+    # permutation property
+    assert sorted(idx.tolist()) == list(range(len(rings)))
+
+
+def test_organize_by_ring_skip_semantics():
+    """Point skipping on a ring-INTERLEAVED cloud: in arrival order a skip
+    divisor equal to the ring count would keep only ring 0; organized
+    ring-major (ref lidar/manager.cpp:205-242) every ring keeps ~1/skip of
+    its points."""
+    n_rings, per_ring, skip = 4, 64, 4
+    # column-major arrival: ring index changes fastest
+    rings = np.tile(np.arange(n_rings, dtype=np.int32), per_ring)
+    # arrival-order skip loses every ring but 0
+    keep_arrival = (np.arange(len(rings)) % skip) == 0
+    assert set(rings[keep_arrival]) == {0}
+    # ring-major skip keeps every ring
+    order = native.ring_sort(rings, n_rings)
+    keep = np.zeros(len(rings), bool)
+    keep[order[::skip]] = True
+    kept_per_ring = [int(np.sum(keep & (rings == r)))
+                     for r in range(n_rings)]
+    assert kept_per_ring == [per_ring // skip] * n_rings

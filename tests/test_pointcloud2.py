@@ -90,3 +90,20 @@ def test_point_filters():
                             intensity_min=1.0)
     np.testing.assert_array_equal(ok2, [True, False, False, False, False,
                                         True])
+
+
+def test_time_base_matches_decode():
+    """time_base's (scale, offset) must reproduce decode's header-relative
+    t_rel for representative formats (the native fused decode consumes the
+    scalars instead of branching per format)."""
+    header = 1234.5
+    # ouster: ns relative to header
+    buf, fields, step, _, _, t, _ = make_ouster_cloud(n=32, seed=2)
+    d = pc2.decode(buf, fields, step, header_stamp=header)
+    sc, off = pc2.time_base(d["fmt"], header)
+    v = pc2.structured_view(buf, fields, step)
+    np.testing.assert_allclose(v["t"].astype(np.float64) * sc - off,
+                               d["t_rel"], atol=1e-12)
+    assert pc2.time_base("hesai", header) == (1.0, header)
+    assert pc2.time_base("livox", header) == (1e-9, header)
+    assert pc2.time_base("velodyne", header) == (1.0, 0.0)
