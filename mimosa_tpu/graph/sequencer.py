@@ -775,19 +775,19 @@ class Sequencer:
         if att is None:
             return
         d = self.dtype
-        q0 = jnp.asarray(att["q_w_b"], d)
-        g0 = jnp.asarray(att["g_dir"], d)
-        self.window = self.window._replace(g_dir=g0, lin_g=g0)
-        self.window = win.append_state(
-            self.window, q0, jnp.zeros(3, d), jnp.zeros(3, d),
-            jnp.asarray(att["bg"], d), jnp.asarray(att["ba"], d), ts)
-        self.window = win.init_priors(self.window, self.win_cfg)
+        key = ("init_inertial",)
+        if key not in self._step_cache:
+            self._step_cache[key] = jax.jit(functools.partial(
+                _init_inertial_step, win_cfg=self.win_cfg))
+        (self.window, self.traj_q, self.traj_p) = self._step_cache[key](
+            self.window, self.traj_q, self.traj_p,
+            jnp.asarray(att["q_w_b"], d), jnp.asarray(att["g_dir"], d),
+            jnp.asarray(att["bg"], d), jnp.asarray(att["ba"], d),
+            jnp.asarray(ts, d))
         self.n_active = 1
         self.initialized = True
         self.last_state_ts = ts
         self.state_ts = [ts]
-        self.traj_q = self.traj_q.at[0].set(q0)
-        self.traj_p = self.traj_p.at[0].set(jnp.zeros(3, d))
         self._traj_ts.append(ts)
         logger.info("initialized (inertial, non-lidar) at ts=%.4f", ts)
 
@@ -799,37 +799,30 @@ class Sequencer:
         if att is None:
             return
         d = self.dtype
-        q0 = jnp.asarray(att["q_w_b"], d)
-        g0 = jnp.asarray(att["g_dir"], d)
-        self.window = self.window._replace(g_dir=g0, lin_g=g0)
-        self.window = win.append_state(
-            self.window, q0, jnp.zeros(3, d), jnp.zeros(3, d),
-            jnp.asarray(att["bg"], d), jnp.asarray(att["ba"], d), t_end)
-        self.window = win.init_priors(self.window, self.win_cfg)
+        # ONE jitted program for the whole init (state + priors + logging
+        # slots + stationary first-scan map seed): the init path must not
+        # run eager op-by-op on a tunneled device (see _init_inertial_step)
+        n = self.cfg.max_scan_points
+        pts, tp, vd = _pad_scan(points, ts_header + t_abs_rel, valid, n,
+                                self.dtype)
+        key = ("init_lidar",)
+        if key not in self._step_cache:
+            self._step_cache[key] = jax.jit(functools.partial(
+                _init_lidar_step, seq_cfg=self.cfg, win_cfg=self.win_cfg,
+                map_cfg=self.map_cfg))
+        (self.window, self.vmap, self.traj_q, self.traj_p,
+         self.kf_q, self.kf_p) = self._step_cache[key](
+            self.window, self.vmap, self.traj_q, self.traj_p,
+            self.kf_q, self.kf_p, jnp.asarray(pts, d), jnp.asarray(vd),
+            jnp.asarray(att["q_w_b"], d), jnp.asarray(att["g_dir"], d),
+            jnp.asarray(att["bg"], d), jnp.asarray(att["ba"], d),
+            jnp.asarray(t_end, d))
+        self.kf_count = jnp.asarray(1, jnp.int32)
         self.n_active = 1
         self.initialized = True
         self.last_state_ts = t_end
         self.state_ts = [t_end]
-        self.traj_q = self.traj_q.at[0].set(q0)
-        self.traj_p = self.traj_p.at[0].set(jnp.zeros(3, d))
         self._traj_ts.append(t_end)
-        self.kf_q = self.kf_q.at[0].set(q0)
-        self.kf_p = self.kf_p.at[0].set(jnp.zeros(3, d))
-        self.kf_count = jnp.asarray(1, jnp.int32)
-
-        # seed the map with the (assumed stationary) first scan
-        n = self.cfg.max_scan_points
-        pts, tp, vd = _pad_scan(points, ts_header + t_abs_rel, valid, n,
-                                self.dtype)
-        q_bl = jnp.asarray(self.cfg.q_b_l, d)
-        t_bl = jnp.asarray(self.cfg.t_b_l, d)
-        q_wl, t_wl = lie.se3_compose(q0, jnp.zeros(3, d), q_bl, t_bl)
-        pts_w = lie.se3_transform(q_wl, t_wl, jnp.asarray(pts, d))
-        ds, ds_valid, _ = voxel_downsample(
-            pts_w, jnp.asarray(vd), self.cfg.map_insert_leaf,
-            self.cfg.n_map_points)
-        self.vmap = self._jit_map_update(self.vmap, ds, ds_valid,
-                                         jnp.asarray(0, jnp.int32))
         logger.info("initialized at ts=%.4f q=%s", t_end, att["q_w_b"])
 
     def write_tum(self, path):
@@ -1156,6 +1149,44 @@ def _scan_step(window, vmap, preints, fv, scan_f, pt_valid,
 
     return (window, vmap, preints, fv, features, kf_q, kf_p, kf_count,
             traj_q, traj_p, debug_rec)
+
+
+def _init_inertial_step(window, traj_q, traj_p, q0, g0, bg, ba, ts,
+                        *, win_cfg):
+    """Initialization state setup as ONE device program. The init path
+    must not run eager op-by-op on a tunneled device: besides ~25 ms per
+    op, the first eager op permanently downgrades the relay session from
+    streamed dispatch to per-program round-trips (measured,
+    scripts/probe_poison_bisect.py)."""
+    d = window.p.dtype
+    z3 = jnp.zeros(3, d)
+    window = window._replace(g_dir=g0, lin_g=g0)
+    window = win.append_state(window, q0, z3, z3, bg, ba, ts)
+    window = win.init_priors(window, win_cfg)
+    traj_q = traj_q.at[0].set(q0)
+    traj_p = traj_p.at[0].set(z3)
+    return window, traj_q, traj_p
+
+
+def _init_lidar_step(window, vmap, traj_q, traj_p, kf_q, kf_p,
+                     pts, vd, q0, g0, bg, ba, ts,
+                     *, seq_cfg, win_cfg, map_cfg):
+    """Lidar initialization: state setup + stationary first-scan map seed
+    in one device program (see _init_inertial_step for why)."""
+    d = window.p.dtype
+    window, traj_q, traj_p = _init_inertial_step(
+        window, traj_q, traj_p, q0, g0, bg, ba, ts, win_cfg=win_cfg)
+    kf_q = kf_q.at[0].set(q0)
+    kf_p = kf_p.at[0].set(jnp.zeros(3, d))
+    q_bl = jnp.asarray(seq_cfg.q_b_l, d)
+    t_bl = jnp.asarray(seq_cfg.t_b_l, d)
+    q_wl, t_wl = lie.se3_compose(q0, jnp.zeros(3, d), q_bl, t_bl)
+    pts_w = lie.se3_transform(q_wl, t_wl, pts)
+    ds, ds_valid, _ = voxel_downsample(pts_w, vd, seq_cfg.map_insert_leaf,
+                                       seq_cfg.n_map_points)
+    vmap = _map_update(vmap, ds, ds_valid, jnp.asarray(0, jnp.int32),
+                       map_cfg=map_cfg)
+    return window, vmap, traj_q, traj_p, kf_q, kf_p
 
 
 def _marginalize(window, preints, fv, *, win_cfg):

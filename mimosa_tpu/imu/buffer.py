@@ -154,10 +154,18 @@ def estimate_attitude(buf: ImuBuffer, t: float, wait_secs: float,
             ang = np.arctan2(s, c)
             q = np.concatenate([[np.cos(ang / 2)], np.sin(ang / 2) * axis])
         g_dir = np.array([0.0, 0.0, -1.0])
-        # residual accelerometer bias in body frame
-        from mimosa_tpu.core import lie  # local import to keep numpy-only path
-        import jax.numpy as jnp
-        R = np.asarray(lie.quat_to_mat(jnp.asarray(q)))
+        # residual accelerometer bias in body frame. Pure numpy on purpose:
+        # ONE eager device op here would both cost a ~25 ms RPC and flip
+        # the tunneled session out of streamed dispatch for the rest of
+        # the process (scripts/probe_poison_bisect.py).
+        w, x, y_, z_ = q
+        R = np.array([
+            [1 - 2 * (y_ * y_ + z_ * z_), 2 * (x * y_ - w * z_),
+             2 * (x * z_ + w * y_)],
+            [2 * (x * y_ + w * z_), 1 - 2 * (x * x + z_ * z_),
+             2 * (y_ * z_ - w * x)],
+            [2 * (x * z_ - w * y_), 2 * (y_ * z_ + w * x),
+             1 - 2 * (x * x + y_ * y_)]])
         ba = mean_acc - R.T @ (z * g_mag)
     else:
         q = np.array([1.0, 0, 0, 0])

@@ -11,12 +11,35 @@ deskew + ICP + preintegration + window solver together (the reference's
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from mimosa_tpu.core import lie
+
+
+def _on_cpu(fn):
+    """Pin a generator to the host CPU backend.
+
+    Synthetic data generation is host-side tooling, not the estimator: on
+    the tunneled TPU its small jit/eager ops not only waste ~25 ms RPCs
+    each, they permanently downgrade the relay session from streamed
+    dispatch (~0.2 ms/program) to per-program round-trips (~25 ms/program)
+    for the REST of the process — measured in
+    scripts/probe_poison_bisect.py (modes gen vs gencpu). Every consumer
+    of this module runs in the same process as the estimator, so keep all
+    generation off the accelerator."""
+    @functools.wraps(fn)
+    def wrapped(*a, **k):
+        try:
+            cpu = jax.devices("cpu")[0]
+        except RuntimeError:
+            return fn(*a, **k)
+        with jax.default_device(cpu):
+            return fn(*a, **k)
+    return wrapped
 
 
 @dataclasses.dataclass
@@ -80,6 +103,7 @@ class TrajectoryConfig:
     center: tuple = (6.0, 4.0, 1.5)
 
 
+@_on_cpu
 def make_trajectory(tc: TrajectoryConfig):
     """Returns jax-callable pose/vel/imu functions of scalar time."""
     amp = jnp.asarray(tc.amp)
@@ -138,6 +162,7 @@ def beam_dirs(lm: LidarModel):
         az[None, :], (lm.n_rows, lm.n_cols)).reshape(-1)
 
 
+@_on_cpu
 def generate(world, tc: TrajectoryConfig, lm: LidarModel,
              imu_rate=200, seed=0, imu_noise=0.0, imu_bias=None,
              range_noise=0.0):
@@ -207,6 +232,7 @@ def generate(world, tc: TrajectoryConfig, lm: LidarModel,
     )
 
 
+@_on_cpu
 def generate_radar(traj, tc: TrajectoryConfig, rate=20.0, n_targets=96,
                    seed=0, noise=0.02, q_b_r=(1.0, 0, 0, 0),
                    t_b_r=(0.0, 0, 0)):
@@ -239,6 +265,7 @@ def generate_radar(traj, tc: TrajectoryConfig, rate=20.0, n_targets=96,
     return frames
 
 
+@_on_cpu
 def generate_odometry(traj, tc: TrajectoryConfig, rate=10.0, seed=0,
                       noise_rot=0.002, noise_trans=0.005):
     """External odometry poses (identity extrinsics) with incremental noise."""

@@ -82,6 +82,19 @@ def main():
         jax.block_until_ready(xs)
     elif mode == "seqinit":
         make_seq()
+    elif mode == "gen":
+        from mimosa_tpu.io import synthetic as syn
+        world = syn.room_world(lx=30.0, ly=16.0, lz=6.0)
+        tc = syn.TrajectoryConfig(t_total=3.0)
+        syn.generate(world, tc, syn.LidarModel(n_rows=128, n_cols=1024),
+                     seed=0)
+    elif mode == "gencpu":
+        from mimosa_tpu.io import synthetic as syn
+        world = syn.room_world(lx=30.0, ly=16.0, lz=6.0)
+        tc = syn.TrajectoryConfig(t_total=3.0)
+        with jax.default_device(jax.devices("cpu")[0]):
+            syn.generate(world, tc,
+                         syn.LidarModel(n_rows=128, n_cols=1024), seed=0)
     elif mode == "stage":
         from mimosa_tpu.io import synthetic as syn
         s = make_seq()
