@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from mimosa_tpu import native
 from mimosa_tpu.core import lie
 from mimosa_tpu.graph import window as win
 from mimosa_tpu.imu import preintegration as pre
@@ -428,10 +429,6 @@ class Sequencer:
             return
 
         d = self.dtype
-        q_m, t_m = odo.relative_measurement(
-            jnp.asarray(prev["q"], d), jnp.asarray(prev["t"], d),
-            jnp.asarray(q_s, d), jnp.asarray(t_s, d), ocfg)
-
         ts_seg, accs, gyros, dts, seg_valid, _ = self.imu.segment(
             self.last_state_ts, ts if declare else self.last_state_ts,
             self.cfg.max_imu_per_segment)
@@ -441,7 +438,9 @@ class Sequencer:
             jnp.asarray(accs, self.dtype), jnp.asarray(gyros, self.dtype),
             jnp.asarray(dts, self.dtype), jnp.asarray(seg_valid),
             jnp.asarray(self.n_active, jnp.int32),
-            q_m, t_m, jnp.asarray(prev["slot"], jnp.int32),
+            jnp.asarray(prev["q"], d), jnp.asarray(prev["t"], d),
+            jnp.asarray(q_s, d), jnp.asarray(t_s, d),
+            jnp.asarray(prev["slot"], jnp.int32),
         )
         if declare:
             self.n_active += 1
@@ -510,25 +509,7 @@ class Sequencer:
         (yet unknown) segment."""
         points = np.asarray(points)
         t_rel = np.asarray(t_rel)
-        if valid is None:
-            valid = np.isfinite(points).all(-1)
-        if intensity is None:
-            intensity = np.zeros(len(points))
-        intensity = np.asarray(intensity)
-        t_end = float(ts_header
-                      + (t_rel[valid].max() if valid.any() else 0.0))
-        raw = (points, t_rel, valid)   # full density for init map seeding
-        if self.cfg.point_skip > 1:
-            k = self.cfg.point_skip
-            points, t_rel, valid = points[::k], t_rel[::k], valid[::k]
-            intensity = intensity[::k]
         with self.timers.stage("t_prepare"):
-            n = self.cfg.max_scan_points
-            pts, tp, vd = _pad_scan(points, t_rel, valid, n, self.dtype)
-            tp = np.where(vd, tp, 0.0)
-            inten = np.zeros(n)
-            inten[:min(len(intensity), n)] = np.nan_to_num(
-                intensity[:min(len(intensity), n)])
             # pack per-scan inputs to minimize H2D transfers (each transfer
             # is an RPC on a tunneled device, and link bytes bound the
             # per-scan pipeline); optional int16 quantization halves the
@@ -536,28 +517,48 @@ class Sequencer:
             # validity mask costs nothing); the intensity column ships
             # only when the photometric module consumes it (-20% bytes)
             ncol = 5 if self.photo_cfg is not None else 4
+            n = self.cfg.max_scan_points
             if self.cfg.quantize_transfer:
+                # one fused native pass: skip + pad + quantize + t_end
+                # (the dominant host cost per scan — ref prepareInput is
+                # C++ for the same reason, src/lidar/manager.cpp:149-383)
                 c = self.cfg
-                scan_q = np.empty((n, ncol), np.int16)
-                scan_q[:, :3] = np.clip(np.round(pts / c.quant_pos_res),
-                                        -32767, 32767)
-                # valid t in [-32767, 32767], sentinel -32768 = invalid
-                scan_q[:, 3] = np.where(
-                    vd,
-                    np.clip(np.round(tp / c.quant_t_res), 0, 65534) - 32767,
-                    -32768)
-                if ncol == 5:
-                    scan_q[:, 4] = np.clip(
-                        np.round(inten / c.quant_int_res), 0, 32767)
+                scan_q, t_max = native.pack_scan(
+                    points, t_rel, valid,
+                    intensity if ncol == 5 else None,
+                    c.point_skip, n, ncol, c.quant_pos_res, c.quant_t_res,
+                    c.quant_int_res)
+                t_end = float(ts_header + t_max)
+                raw = (points, t_rel,
+                       valid if valid is not None
+                       else np.isfinite(points).all(-1))
                 scan_dev = jnp.asarray(scan_q)
                 valid_dev = None
-            else:
-                cols = [pts, tp[:, None]]
-                if ncol == 5:
-                    cols.append(inten[:, None])
-                scan_dev = jnp.asarray(np.concatenate(cols, axis=1),
-                                       self.dtype)
-                valid_dev = jnp.asarray(vd)
+                return dict(ts_header=float(ts_header), t_end=t_end,
+                            scan_dev=scan_dev, valid_dev=valid_dev, raw=raw)
+            if valid is None:
+                valid = np.isfinite(points).all(-1)
+            if intensity is None:
+                intensity = np.zeros(len(points))
+            intensity = np.asarray(intensity)
+            t_end = float(ts_header
+                          + (t_rel[valid].max() if valid.any() else 0.0))
+            raw = (points, t_rel, valid)  # full density for init map seed
+            if self.cfg.point_skip > 1:
+                k = self.cfg.point_skip
+                points, t_rel, valid = points[::k], t_rel[::k], valid[::k]
+                intensity = intensity[::k]
+            pts, tp, vd = _pad_scan(points, t_rel, valid, n, self.dtype)
+            tp = np.where(vd, tp, 0.0)
+            inten = np.zeros(n)
+            inten[:min(len(intensity), n)] = np.nan_to_num(
+                intensity[:min(len(intensity), n)])
+            cols = [pts, tp[:, None]]
+            if ncol == 5:
+                cols.append(inten[:, None])
+            scan_dev = jnp.asarray(np.concatenate(cols, axis=1),
+                                   self.dtype)
+            valid_dev = jnp.asarray(vd)
         return dict(ts_header=float(ts_header), t_end=t_end,
                     scan_dev=scan_dev, valid_dev=valid_dev, raw=raw)
 
@@ -1438,12 +1439,17 @@ def _radar_step(window, preints, fv, accs, gyros, dts, seg_valid, n_active,
 
 
 def _odom_step(window, preints, fv, accs, gyros, dts, seg_valid, n_active,
-               q_meas, t_meas, prev_slot, *, declare, seq_cfg, win_cfg,
-               odom_cfg):
+               q_prev_s, t_prev_s, q_cur_s, t_cur_s, prev_slot,
+               *, declare, seq_cfg, win_cfg, odom_cfg):
     """Relative-pose between factor from the previous odometry state
-    (ref src/odometry/manager.cpp:43-58 one-step factors)."""
+    (ref src/odometry/manager.cpp:43-58 one-step factors). The sensor-frame
+    relative measurement is computed HERE (traced) rather than eagerly on
+    the host: one eager device op per message would knock the tunneled
+    session off the streamed dispatch path (see _init_inertial_step)."""
     from mimosa_tpu.odometry import factor as odo
 
+    q_meas, t_meas = odo.relative_measurement(q_prev_s, t_prev_s,
+                                              q_cur_s, t_cur_s, odom_cfg)
     if declare:
         window, preints, fv, slot = _declare_core(
             window, preints, fv, accs, gyros, dts, seg_valid, n_active,

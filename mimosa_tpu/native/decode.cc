@@ -155,3 +155,98 @@ int64_t mimosa_ring_sort(const int32_t* rings, int64_t n, int32_t n_rings,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Fused scan staging pack (the host hot path of Sequencer.stage_scan):
+// point-skip + pad/truncate + int16 quantization with the invalid-lane
+// sentinel in ONE pass, replacing a ~6-pass numpy pipeline. Also returns
+// t_end = max t over valid lanes of the FULL-density scan (computed
+// before skipping, matching the staging semantics).
+//
+// pts: [n_in,3], t_rel: [n_in], inten: [n_in] or null, valid: [n_in] or
+// null (null = finite(pts)). dtype codes: 7=f32, 8=f64 (see Dtype).
+// out: [n_out, ncol] int16, ncol 4 (x,y,z,t) or 5 (+intensity).
+// Lanes with t quant sentinel -32768 are invalid (dropped/padding).
+int64_t mimosa_pack_scan(const void* pts, int32_t pts_dtype,
+                         const void* t_rel, int32_t t_dtype,
+                         const uint8_t* valid, const void* inten,
+                         int32_t inten_dtype, int64_t n_in, int64_t skip,
+                         int64_t n_out, int32_t ncol, double pos_res,
+                         double t_res, double int_res, int16_t* out,
+                         double* t_end_out) {
+  const float* pf = static_cast<const float*>(pts);
+  const double* pd = static_cast<const double*>(pts);
+  const float* tf = static_cast<const float*>(t_rel);
+  const double* td = static_cast<const double*>(t_rel);
+  const float* inf_ = static_cast<const float*>(inten);
+  const double* ind_ = static_cast<const double*>(inten);
+  const double inv_pos = 1.0 / pos_res;
+  const double inv_t = 1.0 / t_res;
+  const double inv_int = int_res > 0 ? 1.0 / int_res : 0.0;
+  double t_end = 0.0;
+  bool any_valid = false;
+  int64_t j = 0;
+  for (int64_t i = 0; i < n_in; ++i) {
+    double x, y, z, t;
+    if (pts_dtype == kF64) {
+      x = pd[3 * i];
+      y = pd[3 * i + 1];
+      z = pd[3 * i + 2];
+    } else {
+      x = pf[3 * i];
+      y = pf[3 * i + 1];
+      z = pf[3 * i + 2];
+    }
+    t = (t_dtype == kF64) ? td[i] : tf[i];
+    const bool finite =
+        std::isfinite(x) && std::isfinite(y) && std::isfinite(z);
+    const bool ok = (valid ? (valid[i] != 0) : finite) && finite &&
+                    std::isfinite(t);
+    if (ok && (!any_valid || t > t_end)) {
+      t_end = t;
+      any_valid = true;
+    }
+    if (i % skip != 0 || j >= n_out) continue;
+    int16_t* row = out + j * ncol;
+    ++j;
+    if (!ok) {
+      row[0] = row[1] = row[2] = 0;
+      row[3] = -32768;
+      if (ncol > 4) row[4] = 0;
+      continue;
+    }
+    auto quant_pos = [&](double v) {
+      double q = std::nearbyint(v * inv_pos);
+      if (q > 32767.0) q = 32767.0;
+      if (q < -32767.0) q = -32767.0;
+      return static_cast<int16_t>(q);
+    };
+    row[0] = quant_pos(x);
+    row[1] = quant_pos(y);
+    row[2] = quant_pos(z);
+    double qt = std::nearbyint(t * inv_t);
+    if (qt < 0.0) qt = 0.0;
+    if (qt > 65534.0) qt = 65534.0;
+    row[3] = static_cast<int16_t>(qt - 32767.0);
+    if (ncol > 4) {
+      double iv = inten ? ((inten_dtype == kF64) ? ind_[i] : inf_[i]) : 0.0;
+      if (!std::isfinite(iv)) iv = 0.0;
+      double qi = std::nearbyint(iv * inv_int);
+      if (qi < 0.0) qi = 0.0;
+      if (qi > 32767.0) qi = 32767.0;
+      row[4] = static_cast<int16_t>(qi);
+    }
+  }
+  // padding rows beyond the consumed inputs
+  for (; j < n_out; ++j) {
+    int16_t* row = out + j * ncol;
+    row[0] = row[1] = row[2] = 0;
+    row[3] = -32768;
+    if (ncol > 4) row[4] = 0;
+  }
+  *t_end_out = t_end;
+  return any_valid ? 1 : 0;
+}
+
+}  // extern "C"

@@ -82,6 +82,62 @@ def test_ring_sort_wrapper_matches_numpy():
     assert sorted(idx.tolist()) == list(range(len(rings)))
 
 
+def _pack_inputs(seed, n=257, with_valid=True, with_inten=True, nan_frac=0.1):
+    rng = np.random.default_rng(seed)
+    pts = rng.normal(scale=20.0, size=(n, 3))
+    t = rng.uniform(0.0, 0.1, size=n)
+    if nan_frac:
+        bad = rng.random(n) < nan_frac
+        pts[bad, rng.integers(0, 3)] = np.nan
+        t[rng.random(n) < nan_frac / 2] = np.inf
+    valid = rng.random(n) < 0.9 if with_valid else None
+    inten = rng.uniform(0.0, 300.0, size=n) if with_inten else None
+    return pts, t, valid, inten
+
+
+@pytest.mark.parametrize("skip,n_out,ncol,with_valid,with_inten", [
+    (1, 512, 4, True, False),
+    (4, 64, 5, True, True),
+    (2, 40, 5, False, True),   # truncation, no explicit valid
+    (3, 512, 4, False, False),
+])
+def test_pack_scan_native_matches_numpy(lib, skip, n_out, ncol,
+                                        with_valid, with_inten):
+    pts, t, valid, inten = _pack_inputs(7 + skip, with_valid=with_valid,
+                                        with_inten=with_inten)
+    args = (pts, t, valid, inten if ncol > 4 else None,
+            skip, n_out, ncol, 0.01, 2e-6, 0.1)
+    out_n, te_n = native.pack_scan(*args)
+    # force the numpy fallback for comparison
+    saved = native._LIB, native._LIB_FAILED
+    try:
+        native._LIB, native._LIB_FAILED = None, True
+        out_p, te_p = native.pack_scan(*args)
+    finally:
+        native._LIB, native._LIB_FAILED = saved
+    np.testing.assert_array_equal(out_n, out_p)
+    assert te_n == te_p
+
+
+def test_pack_scan_semantics(lib):
+    pts = np.array([[1.0, 2.0, 3.0],
+                    [np.nan, 0.0, 0.0],
+                    [0.5, -0.5, 0.25],
+                    [4.0, 4.0, 4.0]])
+    t = np.array([0.0, 0.01, 0.02, 0.09])
+    valid = np.array([True, True, True, False])
+    out, t_end = native.pack_scan(pts, t, valid, None, 1, 6, 4,
+                                  0.01, 2e-6, 0.1)
+    # t_end over valid ∩ finite lanes of the full input: lane 3 invalid,
+    # lane 1 NaN -> max is t[2]
+    assert t_end == 0.02
+    assert out[0, 0] == 100 and out[0, 1] == 200 and out[0, 2] == 300
+    assert out[1, 3] == -32768          # NaN point -> sentinel
+    assert out[3, 3] == -32768          # masked-out point -> sentinel
+    assert (out[4:, 3] == -32768).all()  # padding -> sentinel
+    assert out[2, 3] == round(0.02 / 2e-6) - 32767
+
+
 def test_organize_by_ring_skip_semantics():
     """Point skipping on a ring-INTERLEAVED cloud: in arrival order a skip
     divisor equal to the ring count would keep only ring 0; organized
