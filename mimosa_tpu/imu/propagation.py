@@ -64,6 +64,12 @@ class Propagator:
     def set_base_state(self, ts, q, p, v, bg, ba, g_dir):
         """Rebase from a freshly optimized state, replaying buffered IMU
         samples newer than ``ts``."""
+        if self._hist and ts < self._hist[0][0] - 1e-9:
+            import logging
+            logging.getLogger(__name__).warning(
+                "propagation base %.3f predates the IMU history ring "
+                "(oldest %.3f) — catch-up replay has a gap; increase "
+                "history_secs or rebase more often", ts, self._hist[0][0])
         self._base = dict(ts=float(ts), q=np.asarray(q, float),
                           p=np.asarray(p, float), v=np.asarray(v, float),
                           bg=np.asarray(bg, float), ba=np.asarray(ba, float),
