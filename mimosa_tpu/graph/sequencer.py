@@ -102,6 +102,20 @@ class SequencerConfig:
     # not rescue the pose (fresh associations at a marginal pose latch onto
     # wrong planes as readily as stale ones anchor); enable per-dataset.
     rematch_on_motion: bool = False
+    # tracking-loss rescue (beyond the reference, which diverges on loss):
+    # when the scan's inlier count collapses below rescue_min_inlier_frac
+    # of the valid geometric points, a batched multi-start search probes
+    # 14 candidate poses around the IMU prediction (translations on a
+    # rescue_radius ball + yaw twists), refines each with 2 damped
+    # pose-only GN steps against its own correspondences, scores them by
+    # robust inlier count, and re-runs the window GN from the winner's
+    # basin. All device-side under one lax.cond — zero cost on the healthy
+    # path, no extra dispatches. Default off: it roughly doubles the scan
+    # program (compile time) and clean runs never trigger it.
+    rescue_enabled: bool = False
+    rescue_radius: float = 0.0        # 0 = one map leaf
+    rescue_yaw: float = 0.08          # rad, yaw candidate magnitude
+    rescue_min_inlier_frac: float = 0.3
 
 
 class Sequencer:
@@ -153,7 +167,7 @@ class Sequencer:
         self.kf_count = jnp.zeros((), jnp.int32)
         self.traj_q = jnp.zeros((S, 4), dtype)
         self.traj_p = jnp.zeros((S, 3), dtype)
-        self.debug_rec = jnp.zeros((S, 16), dtype)
+        self.debug_rec = jnp.zeros((S, 17), dtype)
         self._traj_ts = []           # host: timestamps, index = ring row
         # per-stage host wall timings (ref LidarManagerDebug t_* fields)
         self.timers = StageTimer()
@@ -202,10 +216,10 @@ class Sequencer:
         return int(self.kf_count)
 
     def debug_records(self):
-        """Per-scan debug record array [n_scans, 16]: num_inlier, 4 status
-        counts, mean_abs_res, 3+3 degeneracy flags, photometric tracked —
-        the equivalent of the reference's LidarGeometricDebug /
-        LidarPhotometricDebug messages."""
+        """Per-scan debug record array [n_scans, 17]: num_inlier, 4 status
+        counts, mean_abs_res, 3+3 degeneracy flags, photometric tracked,
+        rescue-triggered flag — the equivalent of the reference's
+        LidarGeometricDebug / LidarPhotometricDebug messages."""
         return np.asarray(self.debug_rec[: self.scan_idx])
 
     @property
@@ -1030,6 +1044,8 @@ def _scan_step(window, vmap, preints, fv, scan_f, pt_valid,
     # updates — compute once, refresh residuals only (like the reference's
     # cached linearized factors, graph/manager.cpp cache_linearized_factors)
     imu_cache = win.imu_factor_cache(window, preints, win_cfg)
+    # the IMU-predicted (pre-GN) pose anchors the rescue candidate ball
+    q_pre, p_pre = window.q[slot], window.p[slot]
     icp = None
     pr = None
     default_path = linearize_fn is None or getattr(linearize_fn,
@@ -1073,6 +1089,107 @@ def _scan_step(window, vmap, preints, fv, scan_f, pt_valid,
             matches, p_da = jax.lax.cond(
                 jnp.any(moved_i & geo_valid), _do_rematch,
                 lambda m=matches, pd=p_da: (m, pd))
+
+    # 5b) tracking-loss rescue: batched multi-start re-registration when
+    # the inlier count collapses (the reference has no recovery — it
+    # diverges; config docstring at SequencerConfig.rescue_enabled).
+    rescued = jnp.zeros((), d)
+    if seq_cfg.rescue_enabled and default_path:
+        rr = seq_cfg.rescue_radius or map_cfg.leaf_size
+        ry = seq_cfg.rescue_yaw
+        dg = 0.7071 * rr
+        cand_np = np.array(
+            [[0, 0, 0, 0],
+             [rr, 0, 0, 0], [-rr, 0, 0, 0], [0, rr, 0, 0], [0, -rr, 0, 0],
+             [0, 0, rr, 0], [0, 0, -rr, 0],
+             [dg, dg, 0, 0], [dg, -dg, 0, 0], [-dg, dg, 0, 0],
+             [-dg, -dg, 0, 0],
+             [0, 0, 0, ry], [0, 0, 0, -ry]])
+        q_conv, p_conv = window.q[slot], window.p[slot]
+        up = -window.g_dir                    # world up = -gravity direction
+        n_valid_geo = jnp.sum(geo_valid)
+        lost = (icp.num_inlier.astype(d) <
+                seq_cfg.rescue_min_inlier_frac * n_valid_geo.astype(d)) & \
+            (n_valid_geo > 0)
+
+        def _refine_and_score(q_c, t_c):
+            """2 damped pose-only GN steps against the candidate's own
+            correspondences; score = robust inlier count with a residual
+            tie-break."""
+            m = geo.match(vmap, pts_geo, q_c, t_c, map_cfg)
+
+            def body(_, qt):
+                q_, t_ = qt
+                res = geo.linearize_with(m, pts_geo, geo_valid, q_, t_,
+                                         geo_cfg, g_dir=window.g_dir)
+                lam = 1e-3 * jnp.trace(res.H) / 6.0 + 1e-6
+                dx = jnp.linalg.solve(
+                    res.H + lam * jnp.eye(6, dtype=d), -res.b)
+                dx = jnp.where(jnp.isfinite(dx), dx, 0.0)
+                q2, t2 = lie.se3_retract(q_, t_, dx)
+                return q2, t2
+
+            q_f, t_f = jax.lax.fori_loop(0, 2, body, (q_c, t_c))
+            res = geo.linearize_with(
+                geo.match(vmap, pts_geo, q_f, t_f, map_cfg), pts_geo,
+                geo_valid, q_f, t_f, geo_cfg, g_dir=window.g_dir)
+            score = res.num_inlier.astype(d) - res.mean_abs_res / geo_cfg.sigma
+            return score, q_f, t_f
+
+        def _rescue(window):
+            cands = jnp.asarray(cand_np, d)
+
+            def one(c):
+                q_c = lie.quat_normalize(
+                    lie.quat_mul(lie.exp_so3(up * c[3]), q_pre))
+                return _refine_and_score(q_c, p_pre + c[:3])
+
+            scores, q_cs, t_cs = jax.vmap(one)(cands)
+            # the already-converged pose competes under the same scoring —
+            # "stay put" wins unless a basin is genuinely better
+            s0, q0_, t0_ = _refine_and_score(q_conv, p_conv)
+            scores = jnp.concatenate([s0[None], scores])
+            q_cs = jnp.concatenate([q0_[None], q_cs])
+            t_cs = jnp.concatenate([t0_[None], t_cs])
+            best = jnp.argmax(scores)
+            q_b, t_b = q_cs[best], t_cs[best]
+
+            # rigid window realignment: the collapse means the whole window
+            # drifted (believed poses disagree with the map), so translate
+            # every active state — values AND linearization points — by the
+            # rescue correction. All relative factors (IMU preintegration,
+            # bias walk, the absorbed prior) are invariant to a global
+            # translation, so this re-anchors the window to the map without
+            # straining any factor; GN below polishes from there.
+            delta = t_b - p_pre
+            act = window.active[:, None]
+            w2 = window._replace(
+                p=jnp.where(act, window.p + delta, window.p),
+                lin_p=jnp.where(act, window.lin_p + delta, window.lin_p))
+            w2 = w2._replace(
+                q=w2.q.at[slot].set(q_b), p=w2.p.at[slot].set(t_b),
+                lin_q=w2.lin_q.at[slot].set(q_b),
+                lin_p=w2.lin_p.at[slot].set(t_b))
+            m2 = geo.match(vmap, pts_geo, q_b, t_b, map_cfg)
+
+            def gn_body(_, wi):
+                icp2 = geo.linearize_with(m2, pts_geo, geo_valid,
+                                          wi.q[slot], wi.p[slot], geo_cfg,
+                                          g_dir=wi.g_dir)
+                H2, rhs2 = win.build_system(
+                    wi, preints, fv, win_cfg,
+                    meas=[(win.pose_idx(slot), icp2.H, icp2.b)],
+                    imu_cache=imu_cache)
+                return win.apply_update(wi, win.solve(H2, rhs2), win_cfg)
+
+            w2 = jax.lax.fori_loop(0, seq_cfg.n_gn_iters, gn_body, w2)
+            return w2, m2, jnp.ones((), d)
+
+        def _no_rescue(window):
+            return window, matches, jnp.zeros((), d)
+
+        window, matches, rescued = jax.lax.cond(lost, _rescue, _no_rescue,
+                                                window)
 
     # 6) absorb the final scan factors into the prior at converged values
     if seq_cfg.refresh_match_on_absorb or not (
@@ -1134,7 +1251,8 @@ def _scan_step(window, vmap, preints, fv, scan_f, pt_valid,
     traj_q = traj_q.at[traj_idx].set(q_new)
     traj_p = traj_p.at[traj_idx].set(p_new)
 
-    rec = jnp.zeros(16, d)
+    rec = jnp.zeros(17, d)
+    rec = rec.at[16].set(rescued)
     rec = rec.at[0].set(icp.num_inlier.astype(d))
     rec = rec.at[1:5].set(icp.status_counts.astype(d))
     rec = rec.at[5].set(icp.mean_abs_res)
@@ -1348,7 +1466,7 @@ def _scan_ooo_step(window, vmap, preints, fv, scan_f, pt_valid, imu_a,
     kf_p = kf_p.at[kf_slot].set(jnp.where(is_kf, p_new, kf_p[kf_slot]))
     kf_count = kf_count + is_kf.astype(jnp.int32)
 
-    rec = jnp.zeros(16, d).at[0].set(icp.num_inlier.astype(d))
+    rec = jnp.zeros(17, d).at[0].set(icp.num_inlier.astype(d))
     debug_rec = debug_rec.at[scan_idx].set(rec)
     return window, vmap, preints, fv, debug_rec, kf_q, kf_p, kf_count
 

@@ -93,8 +93,12 @@ def test_bag_organize_by_ring_rescues_interleaved(tmp_path):
     world = syn.room_world()
     tc = syn.TrajectoryConfig(t_total=3.0)
     lm = syn.LidarModel(n_rows=32, n_cols=512)
-    base = syn.generate(world, tc, lm, seed=0, imu_noise=0.01,
-                        range_noise=0.005)
+    # clean scenario: this test gates the ring-organization semantics
+    # (arrival-order skip would drop whole rings), and noisy marginal
+    # scenes are chaotic under int16-quant-boundary flips (CLAUDE.md) —
+    # a noisy variant of this replay flipped across a benign change to
+    # the quantization rounding precision
+    base = syn.generate(world, tc, lm, seed=0)
     n_rows, n_cols = lm.n_rows, lm.n_cols
     bag = str(tmp_path / "interleaved.bag")
     w = bw.BagWriter(bag)
