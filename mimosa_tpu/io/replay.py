@@ -18,10 +18,65 @@ import argparse
 import time
 
 
+class StepControl:
+    """Keyboard pause/step for interactive replay debugging (the raw-tty
+    control of the reference harness, src/mimosa_rosbag.cpp:31-47,166-185):
+    SPACE toggles pause, ``s`` processes one scan while paused, ``q``
+    aborts the replay. ``read_keys`` is injectable for tests; the default
+    polls a raw non-blocking stdin when it is a TTY."""
+
+    def __init__(self, read_keys=None):
+        self.paused = False
+        self._abort = False
+        if read_keys is not None:
+            self._read = read_keys
+        else:
+            self._read = self._make_tty_reader()
+
+    @staticmethod
+    def _make_tty_reader():
+        import sys
+        if not sys.stdin.isatty():
+            return lambda: ""
+        import atexit
+        import os
+        import termios
+        import tty
+        fd = sys.stdin.fileno()
+        saved = termios.tcgetattr(fd)
+        tty.setcbreak(fd)
+        os.set_blocking(fd, False)
+        atexit.register(termios.tcsetattr, fd, termios.TCSADRAIN, saved)
+
+        def read():
+            try:
+                return os.read(fd, 16).decode(errors="ignore")
+            except BlockingIOError:
+                return ""
+
+        return read
+
+    def gate(self):
+        """Call before dispatching each scan. Blocks while paused; returns
+        False when the user aborted."""
+        while not self._abort:
+            for ch in self._read():
+                if ch == " ":
+                    self.paused = not self.paused
+                elif ch == "s" and self.paused:
+                    return True          # step: process exactly one scan
+                elif ch == "q":
+                    self._abort = True
+            if not self.paused or self._abort:
+                break
+            time.sleep(0.02)
+        return not self._abort
+
+
 def replay_bag(bag_path, config_path, imu_topic, lidar_topic,
                radar_topic=None, odom_topic=None, override_path=None,
                start_offset=0.0, duration=None, max_scan_points=None,
-               verbose=True, platform=None):
+               verbose=True, platform=None, step_control=None):
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
@@ -95,6 +150,8 @@ def replay_bag(bag_path, config_path, imu_topic, lidar_topic,
                 s.add_scan(st["ts_header"], staged=st)
                 n_proc += 1
         elif topic == lidar_topic:
+            if step_control is not None and not step_control.gate():
+                break                     # user abort ('q')
             d = pc2.decode(m["data"], m["fields"], m["point_step"],
                            header_stamp=m["stamp"])
             if organize:
@@ -151,11 +208,14 @@ def main():
     ap.add_argument("-s", "--start-offset", type=float, default=0.0)
     ap.add_argument("--duration", type=float)
     ap.add_argument("--platform")
+    ap.add_argument("--interactive", action="store_true",
+                    help="SPACE pause, 's' step one scan, 'q' abort")
     args = ap.parse_args()
 
     s = replay_bag(args.bag, args.config, args.imu_topic, args.lidar_topic,
                    args.radar_topic, args.odom_topic, args.config_override,
-                   args.start_offset, args.duration, platform=args.platform)
+                   args.start_offset, args.duration, platform=args.platform,
+                   step_control=StepControl() if args.interactive else None)
     s.write_tum(args.out)
     print(f"trajectory -> {args.out} ({len(s.trajectory)} poses)")
     if args.gt:

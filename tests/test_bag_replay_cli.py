@@ -145,3 +145,19 @@ def test_bag_organize_by_ring_rescues_interleaved(tmp_path):
     # every ring survives the organized skip in the staged scans
     dbg = np.asarray(s.debug_records())
     assert dbg[3:, 0].min() > 100   # inliers stay healthy after init
+
+
+def test_step_control_semantics():
+    """SPACE pause / 's' step / 'q' abort state machine (the reference's
+    raw-tty replay control, mimosa_rosbag.cpp:166-185)."""
+    from mimosa_tpu.io.replay import StepControl
+
+    feed = iter(["", " s", "s", " ", "", "q", ""])
+    sc = StepControl(read_keys=lambda: next(feed, ""))
+    assert sc.gate() and not sc.paused        # running
+    assert sc.gate() and sc.paused            # pause + step one scan
+    assert sc.gate() and sc.paused            # step again
+    assert sc.gate() and not sc.paused        # resume
+    assert sc.gate()
+    assert not sc.gate()                      # abort
+    assert not sc.gate()                      # stays aborted
