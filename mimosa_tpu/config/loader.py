@@ -105,9 +105,13 @@ def _get(d: dict, path: str, default=None):
 
 
 def _pose7(v):
-    """Reference T_B_S format [x y z qx qy qz qw] -> (q_wxyz, t)."""
+    """Reference T_B_S format [x y z qx qy qz qw] -> (q_wxyz, t).
+    Normalizes the quaternion: hand-written extrinsics in the shipped
+    configs are off by up to 3e-4 (e.g. magpie's lidar T_B_S), and the
+    reference's gtsam::Rot3 normalizes on construction."""
     x, y, z, qx, qy, qz, qw = v
-    return (qw, qx, qy, qz), (x, y, z)
+    n = math.sqrt(qw * qw + qx * qx + qy * qy + qz * qz) or 1.0
+    return (qw / n, qx / n, qy / n, qz / n), (x, y, z)
 
 
 def load_ouster_metadata(path) -> dict:
@@ -294,6 +298,11 @@ def from_reference_dict(raw: dict, declare_rate_hz=10.0,
         acc_var=float(g("imu/preintegration/acc_noise_density", 0.2)) ** 2,
         gyro_var=float(g("imu/preintegration/gyro_noise_density", 0.026)) ** 2,
         q_b_l=q_bl, t_b_l=t_bl,
+        # finest int16 position resolution that still covers the platform's
+        # lidar range (2% headroom); floors at the default 2.5 mm
+        quant_pos_res=max(
+            SequencerConfig.quant_pos_res,
+            float(g("lidar/manager/range_max", 100.0)) * 1.02 / 32767.0),
     )
     seq_kwargs.update(seq_overrides)
     # clamp downsample sizes to the scan size unless explicitly overridden

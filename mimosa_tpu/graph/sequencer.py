@@ -80,9 +80,18 @@ class SequencerConfig:
     # host->device transfer compression: int16 quantized scans halve the
     # PCIe (or dev-tunnel) traffic; resolutions are far below sensor noise
     quantize_transfer: bool = True
-    quant_pos_res: float = 0.005      # m   (range +-163 m)
+    # 2.5 mm covers +-82 m in int16; the config loader widens it when the
+    # platform's range_max needs more. 5 mm measurably degraded tracking
+    # margin on marginal scenes (inlier floor ~20 vs ~370 at 2 mm on the
+    # synthetic bag gate) — quantization error is NOT free even well below
+    # sensor noise, because it is spatially structured; see quant_dither
+    quant_pos_res: float = 0.0025     # m   (range +-82 m)
     quant_t_res: float = 4e-6         # s   (span 0.26 s)
     quant_int_res: float = 0.25       # intensity units
+    # subtractive ±0.5 LSB position dither (deterministic per-lane hash):
+    # low-noise scans snapped to the quantization lattice bias voxel plane
+    # normals (staircase aliasing) enough to halve ICP inliers
+    quant_dither: bool = True
     point_skip: int = 1               # keep every k-th point (ref
                                       # point_skip_divisor, enwide uses 4)
     # re-run correspondence search at the absorb step (mm-scale pose updates
@@ -541,7 +550,7 @@ class Sequencer:
                     points, t_rel, valid,
                     intensity if ncol == 5 else None,
                     c.point_skip, n, ncol, c.quant_pos_res, c.quant_t_res,
-                    c.quant_int_res)
+                    c.quant_int_res, dither=c.quant_dither)
                 t_end = float(ts_header + t_max)
                 raw = (points, t_rel,
                        valid if valid is not None
@@ -868,6 +877,22 @@ def _set_segment(preints, i, seg):
     return jax.tree_util.tree_map(lambda a, s: a.at[i].set(s), preints, seg)
 
 
+def _dither_lanes(n, dtype):
+    """Per-lane position dither [n,3] in [-0.5, 0.5) — bit-compatible with
+    native.pack_scan's dither01 (Knuth hash of the packed row index)."""
+    lane = jnp.arange(n, dtype=jnp.uint32)
+    cols = []
+    for salt in (0xA511E9B3, 0x63D83595, 0x1B873593):
+        h = (lane * jnp.uint32(2654435761)) ^ jnp.uint32(salt)
+        h = h ^ (h >> 16)
+        h = h * jnp.uint32(2246822519)
+        h = h ^ (h >> 13)
+        # f32 keeps ~24 bits of the hash — 1e-7 LSB mismatch vs the f64
+        # encode offset, i.e. sub-nanometer after scaling
+        cols.append(h.astype(dtype) / dtype.type(4294967296.0) - 0.5)
+    return jnp.stack(cols, axis=-1)
+
+
 def _decode_scan(scan_f, pt_valid, t_offset, seq_cfg, d):
     """Unpack a staged scan: int16 dequantization (sentinel t == -32768
     encodes invalid lanes) or plain f32 columns; point times shift from
@@ -876,7 +901,14 @@ def _decode_scan(scan_f, pt_valid, t_offset, seq_cfg, d):
     packs decode to zero intensity)."""
     has_inten = scan_f.shape[1] >= 5
     if seq_cfg.quantize_transfer:
-        pts = scan_f[:, :3].astype(d) * seq_cfg.quant_pos_res
+        q = scan_f[:, :3].astype(d)
+        if seq_cfg.quant_dither:
+            # subtractive dither: remove the per-lane encode offset (same
+            # hash as native.pack_scan) so the effective quantization error
+            # is white ±0.5 LSB noise instead of a spatial lattice that
+            # biases voxel plane fits
+            q = q - _dither_lanes(scan_f.shape[0], d)
+        pts = q * seq_cfg.quant_pos_res
         t_pts = (scan_f[:, 3].astype(d) + 32767.0) * seq_cfg.quant_t_res \
             + t_offset
         intensity = scan_f[:, 4].astype(d) * seq_cfg.quant_int_res \

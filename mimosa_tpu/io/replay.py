@@ -76,7 +76,8 @@ class StepControl:
 def replay_bag(bag_path, config_path, imu_topic, lidar_topic,
                radar_topic=None, odom_topic=None, override_path=None,
                start_offset=0.0, duration=None, max_scan_points=None,
-               verbose=True, platform=None, step_control=None):
+               verbose=True, platform=None, step_control=None,
+               **seq_overrides):
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
@@ -90,9 +91,10 @@ def replay_bag(bag_path, config_path, imu_topic, lidar_topic,
     from mimosa_tpu.io import pointcloud2 as pc2
     from mimosa_tpu.io.rosbag import Bag
 
+    if max_scan_points:
+        seq_overrides["max_scan_points"] = max_scan_points
     cs = loader.load_reference_yaml(config_path, override_path,
-                                    **(dict(max_scan_points=max_scan_points)
-                                       if max_scan_points else {}))
+                                    **seq_overrides)
     s = seq.Sequencer(seq_cfg=cs.sequencer, win_cfg=cs.window,
                       map_cfg=cs.voxel_map, geo_cfg=cs.geometric,
                       dtype=jnp.float32)

@@ -148,13 +148,31 @@ def ring_sort(rings, n_rings):
     return np.argsort(r, kind="stable").astype(np.int64)
 
 
+def _dither01(idx, salt):
+    """Deterministic per-lane dither in [-0.5, 0.5): bit-identical to the
+    C++ dither01 (Knuth multiplicative hash + xorshift finalizer)."""
+    h = (idx.astype(np.uint64) * np.uint64(2654435761)).astype(np.uint32) \
+        ^ np.uint32(salt)
+    h ^= h >> np.uint32(16)
+    h = (h.astype(np.uint64) * np.uint64(2246822519)).astype(np.uint32)
+    h ^= h >> np.uint32(13)
+    return h.astype(np.float64) / 4294967296.0 - 0.5
+
+
+_DITHER_SALTS = (0xA511E9B3, 0x63D83595, 0x1B873593)
+
+
 def pack_scan(points, t_rel, valid, intensity, skip, n_out, ncol,
-              pos_res, t_res, int_res):
+              pos_res, t_res, int_res, dither=True):
     """Fused scan staging pack: point-skip + pad/truncate + int16
     quantization with the t == -32768 invalid-lane sentinel in one native
     pass (the host hot path of Sequencer.stage_scan). Returns
     (out int16 [n_out, ncol], t_end) where t_end is the max t over valid
-    lanes of the FULL-density input (before skipping). Numpy fallback is
+    lanes of the FULL-density input (before skipping). ``dither`` adds a
+    deterministic per-lane subtractive dither of ±0.5 LSB to the position
+    quantizer — without it, low-noise scans snap to the quantization
+    lattice and the gridded points bias voxel plane normals (staircase
+    aliasing) badly enough to halve ICP inliers. Numpy fallback is
     bit-identical."""
     points = np.ascontiguousarray(points)
     t_rel = np.ascontiguousarray(t_rel)
@@ -186,8 +204,8 @@ def pack_scan(points, t_rel, valid, intensity, skip, n_out, ncol,
             ctypes.c_int32(ic), ctypes.c_int64(n_in), ctypes.c_int64(skip),
             ctypes.c_int64(n_out), ctypes.c_int32(ncol),
             ctypes.c_double(pos_res), ctypes.c_double(t_res),
-            ctypes.c_double(int_res), _cptr(out, ctypes.c_int16),
-            ctypes.byref(t_end))
+            ctypes.c_double(int_res), ctypes.c_int32(1 if dither else 0),
+            _cptr(out, ctypes.c_int16), ctypes.byref(t_end))
         return out, float(t_end.value)
 
     # numpy fallback (same semantics)
@@ -200,8 +218,13 @@ def pack_scan(points, t_rel, valid, intensity, skip, n_out, ncol,
     out = np.zeros((n_out, ncol), np.int16)
     out[:, 3] = -32768
     p = np.nan_to_num(pts_s[:k], posinf=0.0, neginf=0.0)
+    q = p / pos_res
+    if dither:
+        lane = np.arange(k, dtype=np.uint64)   # packed row index
+        q = q + np.stack([_dither01(lane, s) for s in _DITHER_SALTS],
+                         axis=-1)
     out[:k, :3] = np.where(ok_s[:k, None],
-                           np.clip(np.round(p / pos_res), -32767, 32767),
+                           np.clip(np.round(q), -32767, 32767),
                            0).astype(np.int16)
     t_fin = np.nan_to_num(t_s[:k], posinf=0.0, neginf=0.0)
     tq = np.clip(np.round(t_fin / t_res), 0, 65534) - 32767

@@ -28,7 +28,12 @@ SYN_PARAMS = {
               "manager": {"enabled": True, "range_min": 0.2,
                           "range_max": 60.0},
               "geometric": {
-                  "neighbor_voxel_mode": 7,
+                  # 19 (the ENWIDE setting): stencil 7 leaves the scenario
+                  # margin-starved at motion onset — no_plane spikes flip
+                  # tracking on sub-noise numeric perturbations (x64 flag,
+                  # quantization rounding), the chaos CLAUDE.md gates warn
+                  # about
+                  "neighbor_voxel_mode": 19,
                   "map_keyframe_trans_thresh": 0.3,
                   "map_keyframe_rot_thresh_deg": 8.0,
                   "lru_horizon": 0,

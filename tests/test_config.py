@@ -34,9 +34,11 @@ def test_load_hornbill_radar():
     assert cs.radar.min_snr_db == 5.0
     assert abs(cs.radar.max_azimuth - math.radians(60)) < 1e-9
     assert cs.radar.max_range == 16.0
-    # radar extrinsics quaternion reordered to w-first from [x y z qx qy qz qw]
-    assert abs(cs.radar.q_b_r[0] - 0.021) < 1e-9
-    assert abs(cs.radar.q_b_r[1] - 0.963) < 1e-9
+    # radar extrinsics quaternion reordered to w-first from
+    # [x y z qx qy qz qw] and normalized (gtsam::Rot3 semantics)
+    assert abs(cs.radar.q_b_r[0] - 0.021) < 1e-3
+    assert abs(cs.radar.q_b_r[1] - 0.963) < 1e-3
+    assert abs(sum(x * x for x in cs.radar.q_b_r) - 1.0) < 1e-12
 
 
 def test_override_overlay(tmp_path):
@@ -64,3 +66,25 @@ def test_plane_min_points_maps_num_corres_points():
     cs = from_reference_dict(
         {"lidar": {"geometric": {"scan_to_map": {"num_corres_points": 7}}}})
     assert cs.voxel_map.plane_min_points == 7
+
+
+def test_load_all_reference_platforms():
+    """Every shipped platform config parses and the modality flags match
+    the reference's dataset matrix (enwide/newer_college = LiDAR+IMU;
+    hornbill/magpie/lapwing/parrot/euroc declare radar in the YAML —
+    euroc's launch simply never remaps a radar topic)."""
+    import os
+    base = "/root/reference/mimosa/config"
+    expect_radar = {"hornbill", "magpie", "lapwing", "parrot", "euroc"}
+    for name in ["enwide", "newer_college", "hornbill", "magpie",
+                 "lapwing", "parrot", "euroc"]:
+        path = os.path.join(base, name, "params.yaml")
+        cs = loader.load_reference_yaml(path)
+        assert cs.window.K >= 2, name
+        assert cs.sequencer.max_imu_per_segment > 0, name
+        assert cs.radar_enabled == (name in expect_radar), name
+        if name in expect_radar:
+            assert cs.radar.sigma > 0, name
+        # every config declares valid lidar extrinsics (unit quaternion)
+        q = cs.sequencer.q_b_l
+        assert abs(sum(x * x for x in q) - 1.0) < 1e-6, name

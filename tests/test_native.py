@@ -127,7 +127,7 @@ def test_pack_scan_semantics(lib):
     t = np.array([0.0, 0.01, 0.02, 0.09])
     valid = np.array([True, True, True, False])
     out, t_end = native.pack_scan(pts, t, valid, None, 1, 6, 4,
-                                  0.01, 2e-6, 0.1)
+                                  0.01, 2e-6, 0.1, dither=False)
     # t_end over valid ∩ finite lanes of the full input: lane 3 invalid,
     # lane 1 NaN -> max is t[2]
     assert t_end == 0.02
@@ -136,6 +136,53 @@ def test_pack_scan_semantics(lib):
     assert out[3, 3] == -32768          # masked-out point -> sentinel
     assert (out[4:, 3] == -32768).all()  # padding -> sentinel
     assert out[2, 3] == round(0.02 / 2e-6) - 32767
+
+
+def test_pack_scan_dither(lib):
+    """Subtractive dither round trip: native == numpy fallback
+    bit-identically, deterministic, decode error stays ≤ ~0.5 LSB + the
+    f32 hash mismatch, and the decoded values de-alias an exactly gridded
+    input (the staircase pathology the dither exists for)."""
+    import jax.numpy as jnp
+    from mimosa_tpu.graph.sequencer import _dither_lanes
+
+    rng = np.random.default_rng(11)
+    res = 0.005
+    # points exactly ON the quantization lattice (the pathological case)
+    pts = np.round(rng.normal(scale=5.0, size=(512, 3)) / res) * res
+    t = rng.uniform(0, 0.1, 512)
+    args = (pts, t, None, None, 2, 256, 4, res, 2e-6, 0.1)
+    d1, te1 = native.pack_scan(*args, dither=True)
+    d2, _ = native.pack_scan(*args, dither=True)
+    np.testing.assert_array_equal(d1, d2)          # deterministic
+    saved = native._LIB, native._LIB_FAILED
+    try:
+        native._LIB, native._LIB_FAILED = None, True
+        f, tef = native.pack_scan(*args, dither=True)
+    finally:
+        native._LIB, native._LIB_FAILED = saved
+    np.testing.assert_array_equal(d1, f)
+    assert te1 == tef
+
+    # decode exactly as the device program does (_decode_scan)
+    dith = np.asarray(_dither_lanes(256, np.dtype(np.float32)))
+    dec = (d1[:, :3].astype(np.float32) - dith) * res
+    err = np.abs(dec - pts[::2][:256].astype(np.float32))
+    assert err.max() <= 0.51 * res
+    # a perfectly flat on-lattice floor: undithered decode collapses every
+    # z to one value (the staircase); subtractive decode spreads the
+    # reconstruction so downstream plane fits see no lattice
+    flat = pts.copy()
+    flat[:, 2] = 1.0
+    dq, _ = native.pack_scan(flat, t, None, None, 1, 512, 4, res, 2e-6,
+                             0.1, dither=True)
+    uq, _ = native.pack_scan(flat, t, None, None, 1, 512, 4, res, 2e-6,
+                             0.1, dither=False)
+    assert len(np.unique(uq[:, 2])) == 1
+    dith512 = np.asarray(_dither_lanes(512, np.dtype(np.float32)))
+    dec_z = (dq[:, 2].astype(np.float32) - dith512[:, 2]) * res
+    assert len(np.unique(dec_z)) > 100
+    assert np.abs(dec_z - 1.0).max() <= 0.51 * res
 
 
 def test_organize_by_ring_skip_semantics():
