@@ -74,10 +74,17 @@ class OnlineEstimator:
         scan is processed (deskew needs coverage through t_end).
     max_pending_scans : int
         Backlog bound; scans beyond it are dropped (newest-dropped).
+    stage_on_push : bool
+        True starts each scan's pack + H2D transfer on the pusher's
+        thread (overlaps the worker's device dispatches — right for a
+        locally attached chip). False defers staging to the worker: on a
+        tunneled/relayed device, cross-thread dispatch+transfer contention
+        measurably halves throughput (see CLAUDE.md failed experiments).
     """
 
     def __init__(self, seq, g_mag=9.81, on_propagated=None, on_state=None,
-                 collection_slack=0.0, max_pending_scans=8):
+                 collection_slack=0.0, max_pending_scans=8,
+                 stage_on_push=True):
         from mimosa_tpu.imu.propagation import Propagator
 
         self.seq = seq
@@ -85,6 +92,7 @@ class OnlineEstimator:
         self.on_state = on_state
         self.collection_slack = float(collection_slack)
         self.max_pending_scans = int(max_pending_scans)
+        self.stage_on_push = bool(stage_on_push)
         self.propagator = Propagator(g_mag=g_mag)
         self.counters = {"imu": 0, "scans": 0, "radar": 0, "odom": 0,
                          "scans_dropped_backlog": 0, "rebases": 0}
@@ -125,10 +133,13 @@ class OnlineEstimator:
                 self.counters["scans_dropped_backlog"] += 1
                 return False
             self._n_pending_scans += 1
-        staged = self.seq.stage_scan(ts_header, points, t_rel, valid,
-                                     intensity)
+        if self.stage_on_push:
+            payload = self.seq.stage_scan(ts_header, points, t_rel, valid,
+                                          intensity)
+        else:
+            payload = ("raw", ts_header, points, t_rel, valid, intensity)
         self.counters["scans"] += 1
-        self._queue.put(("scan", staged))
+        self._queue.put(("scan", payload))
         return True
 
     def push_radar(self, ts, points_r, doppler, snr_db=None):
@@ -194,6 +205,8 @@ class OnlineEstimator:
             return
         # exteroceptive events wait for IMU coverage of their end time
         if kind == "scan":
+            if isinstance(payload, tuple) and payload[0] == "raw":
+                payload = seq.stage_scan(*payload[1:])
             need = payload["t_end"] + self.collection_slack
         else:
             need = payload[0]

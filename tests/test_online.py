@@ -136,3 +136,24 @@ def test_online_worker_survives_bad_event(data):
     assert est.flush(timeout=30.0)
     assert est._worker.is_alive()
     est.stop(drain=True)
+
+
+def test_online_worker_staging(data):
+    """stage_on_push=False defers the pack + transfer to the worker
+    thread (the tunneled-device mode); results must match push-staging."""
+    est = OnlineEstimator(_make_sequencer(data["n_scan_pts"]),
+                          collection_slack=0.03, max_pending_scans=10_000,
+                          stage_on_push=False)
+    imu, imu_i = data["imu"], 0
+    for scan in data["scans"][:20]:
+        t_end = scan["ts_header"] + scan["t_rel"].max()
+        while imu_i < len(imu["ts"]) and imu["ts"][imu_i] <= t_end + 0.03:
+            est.push_imu(imu["ts"][imu_i], imu["acc"][imu_i],
+                         imu["gyro"][imu_i])
+            imu_i += 1
+        assert est.push_scan(scan["ts_header"], scan["points"],
+                             scan["t_rel"], scan["valid"])
+    est.stop(drain=True)
+    assert est.seq.initialized
+    assert len(est.seq.trajectory) > 5
+    assert est.counters["rebases"] > 0
