@@ -1,0 +1,68 @@
+"""Multi-process mesh (jax.distributed over CPU) vs single-process:
+the multi-host stand-in SURVEY §4 calls for. Two processes x 4 virtual
+devices form one global ('dp','mp') mesh; the sharded map insert +
+linearize must produce the same normal equations as the single-process
+8-device mesh run."""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.mark.timeout(600)
+def test_two_process_mesh_matches_single_process():
+    here = os.path.dirname(__file__)
+    worker = os.path.join(here, "distributed_worker.py")
+    coord = f"127.0.0.1:{_free_port()}"
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    env["JAX_PLATFORMS"] = ""   # worker sets platform itself
+    procs = [subprocess.Popen(
+        [sys.executable, worker, coord, "2", str(pid)],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env)
+        for pid in range(2)]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append((p.returncode, out, err))
+    for rc, out, err in outs:
+        assert rc == 0, f"worker failed:\n{err[-3000:]}"
+    line = [ln for ln in outs[0][1].splitlines()
+            if ln.startswith("DIST_RESULT")]
+    assert line, outs[0][1]
+    payload = line[0][len("DIST_RESULT "):]
+    h_str, rest = payload.split("] ", 1)
+    b_str, n_str = rest.rsplit(" ", 1)
+    H2 = np.array(eval(h_str + "]")).reshape(6, 6)  # noqa: S307
+    b2 = np.array(eval(b_str))                       # noqa: S307
+    n2 = int(n_str)
+
+    # single-process reference on the in-test 8-device virtual mesh
+    # (conftest already configured it)
+    from distributed_worker import run
+    from mimosa_tpu.parallel import sharded as sh
+    H1, b1, n1 = run(lambda: sh.make_mesh(8))
+
+    assert n1 == n2
+    # different device counts per process change f32 reduction order —
+    # compare at relative precision (entries span 1e-1..1e6)
+    np.testing.assert_allclose(H2, H1.astype(np.float64), rtol=1e-5,
+                               atol=1e-2)
+    np.testing.assert_allclose(b2, b1.astype(np.float64), rtol=1e-5,
+                               atol=1e-2)
