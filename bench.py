@@ -41,8 +41,19 @@ def main():
     data = syn.generate(world, tc, lm, seed=0, imu_noise=0.01,
                         range_noise=0.01)
 
-    def make_sequencer():
+    def make_sequencer(photo=False):
+        photo_cfg = None
+        if photo:
+            # full PG-LIO pipeline: intensity image build + FIR chain +
+            # Sobel + NCC patch factors on top of geometric ICP
+            from mimosa_tpu.lidar import photometric as ph
+            photo_cfg = ph.PhotometricConfig(
+                rows=lm.n_rows, cols=lm.n_cols, fov_up=lm.fov_up,
+                fov_down=lm.fov_down, range_min=0.5, range_max=60.0,
+                gradient_threshold=2.0, nma_radius=5, num_features=64,
+                margin=3, intensity_scale=1.0)
         return seq.Sequencer(
+            photo_cfg=photo_cfg,
             seq_cfg=seq.SequencerConfig(
                 # point_skip=4 matches the reference's ENWIDE config
                 # (point_skip_divisor: 4, mimosa/config/enwide/params.yaml)
@@ -62,15 +73,16 @@ def main():
     imu = data["imu"]
     scans = data["scans"]
 
-    def replay_once():
+    def replay_once(photo=False):
         """One full replay; returns (steady-state scans/s, sequencer)."""
-        s = make_sequencer()
+        s = make_sequencer(photo)
         imu_i = 0
 
         def stage(i):
             sc = scans[i]
             return s.stage_scan(sc["ts_header"], sc["points"], sc["t_rel"],
-                                sc["valid"])
+                                sc["valid"],
+                                intensity=sc.get("intensity"))
 
         staged_next = stage(0)
         n_warm = min(20, len(scans) // 3)
@@ -103,6 +115,13 @@ def main():
         rates.append(sps_i)
     sps = float(np.median(rates))
 
+    # secondary figure: the full PG-LIO geometric+photometric pipeline
+    photo_rates = []
+    for _ in range(2):
+        sps_p, _s2 = replay_once(photo=True)
+        photo_rates.append(sps_p)
+    sps_photo = float(np.median(photo_rates))
+
     est_ts = np.asarray([t for t, _, _ in s.trajectory])
     est_p = np.asarray([p for _, p, _ in s.trajectory])
     ate = syn.ate_rmse(est_ts, est_p, data["gt"]["ts"], data["gt"]["pos"])
@@ -113,6 +132,7 @@ def main():
         "unit": "scans/s (128x1024 pts, K=8 window, 3+1 ICP linearize)",
         "vs_baseline": round(sps / 10.0, 2),
         "ate_m": round(ate, 4),
+        "photo_scans_per_s": round(sps_photo, 2),
         "platform": jax.devices()[0].platform,
     }))
 

@@ -210,14 +210,28 @@ def main():
     ap.add_argument("-s", "--start-offset", type=float, default=0.0)
     ap.add_argument("--duration", type=float)
     ap.add_argument("--platform")
+    ap.add_argument("--profile",
+                    help="write a jax.profiler (Perfetto/XPlane) trace of "
+                         "the replay to this directory")
     ap.add_argument("--interactive", action="store_true",
                     help="SPACE pause, 's' step one scan, 'q' abort")
     args = ap.parse_args()
 
-    s = replay_bag(args.bag, args.config, args.imu_topic, args.lidar_topic,
-                   args.radar_topic, args.odom_topic, args.config_override,
-                   args.start_offset, args.duration, platform=args.platform,
-                   step_control=StepControl() if args.interactive else None)
+    import contextlib
+    prof = contextlib.nullcontext()
+    if args.profile:
+        # per-stage device timing via the XLA profiler (the counterpart of
+        # the reference's Stopwatch debug timings) — open the trace with
+        # Perfetto / tensorboard-plugin-profile
+        import jax
+        prof = jax.profiler.trace(args.profile)
+    with prof:
+        s = replay_bag(args.bag, args.config, args.imu_topic,
+                       args.lidar_topic, args.radar_topic, args.odom_topic,
+                       args.config_override, args.start_offset,
+                       args.duration, platform=args.platform,
+                       step_control=StepControl() if args.interactive
+                       else None)
     s.write_tum(args.out)
     print(f"trajectory -> {args.out} ({len(s.trajectory)} poses)")
     if args.gt:
