@@ -1057,6 +1057,20 @@ def _scan_step(window, vmap, preints, fv, scan_f, pt_valid,
             bb = proj @ bb
         return Hb, bb, pr
 
+
+    def geo_meas(icp_):
+        """ICP measurement block, optionally with the reference's
+        degeneracy projection (geometric_factor.hpp:477-557): in a
+        degenerate direction the thousands of near-invariant residuals
+        still accumulate SPURIOUS information (noise-tilted planes) that
+        anchors the pose to the stale map and overpowers the honest
+        sources (IMU, photometric). Projecting H/b onto the non-degenerate
+        eigen-subspace leaves those directions to the rest of the graph."""
+        if not geo_cfg.project_degenerate:
+            return icp_.H, icp_.b
+        Pp = geo.degeneracy_projector(icp_)
+        return Pp @ icp_.H @ Pp.T, Pp @ icp_.b
+
     # 5) GN iterations with live ICP (+photometric) relinearization.
     # Single-device path: associate correspondences ONCE at the predicted
     # pose and relinearize against them (ref correspondence cache,
@@ -1094,7 +1108,7 @@ def _scan_step(window, vmap, preints, fv, scan_f, pt_valid,
         p_da = _world_pts(window.q[slot], window.p[slot])
     for _ in range(seq_cfg.n_gn_iters):
         icp = lin_iter(window.q[slot], window.p[slot], window.g_dir)
-        meas = [(win.pose_idx(slot), icp.H, icp.b)]
+        meas = [(win.pose_idx(slot), *geo_meas(icp))]
         if photo_cfg is not None:
             Hb, bb, pr = photo_block(icp)
             meas.append((win.pose_idx(slot), Hb, bb))
@@ -1210,7 +1224,7 @@ def _scan_step(window, vmap, preints, fv, scan_f, pt_valid,
                                           g_dir=wi.g_dir)
                 H2, rhs2 = win.build_system(
                     wi, preints, fv, win_cfg,
-                    meas=[(win.pose_idx(slot), icp2.H, icp2.b)],
+                    meas=[(win.pose_idx(slot), *geo_meas(icp2))],
                     imu_cache=imu_cache)
                 return win.apply_update(wi, win.solve(H2, rhs2), win_cfg)
 
@@ -1232,8 +1246,9 @@ def _scan_step(window, vmap, preints, fv, scan_f, pt_valid,
     else:
         icp = lin_iter(window.q[slot], window.p[slot], window.g_dir)
     window = win.rebase_prior(window, win_cfg)
-    window = win.add_measurement_block(window, win.pose_idx(slot), icp.H,
-                                       icp.b, win_cfg)
+    gH, gb = geo_meas(icp)
+    window = win.add_measurement_block(window, win.pose_idx(slot), gH,
+                                       gb, win_cfg)
     photo_out = None
     if photo_cfg is not None:
         from mimosa_tpu.lidar import photometric as ph
@@ -1467,8 +1482,9 @@ def _scan_ooo_step(window, vmap, preints, fv, scan_f, pt_valid, imu_a,
     icp = geo.linearize_with(matches, pts_geo, geo_valid, window.q[slot],
                              window.p[slot], geo_cfg, g_dir=window.g_dir)
     window = win.rebase_prior(window, win_cfg)
-    window = win.add_measurement_block(window, win.pose_idx(slot), icp.H,
-                                       icp.b, win_cfg)
+    gH, gb = geo_meas(icp)
+    window = win.add_measurement_block(window, win.pose_idx(slot), gH,
+                                       gb, win_cfg)
 
     # keyframe-gated map densification at the refined pose — same policy
     # as the main path (ref geometric.cpp:440-478); an OOO scan seen from

@@ -73,6 +73,22 @@ def room_world(lx=16.0, ly=8.0, lz=4.0):
     ]
 
 
+def corridor_world(length=80.0, w=4.0, h=3.0):
+    """An 'infinite' corridor (no end caps visible within lidar range):
+    translation along x is geometrically unobservable from planes — only
+    the world-anchored intensity texture pins it. The synthetic stand-in
+    for the tunnel/corridor scenes PG-LIO targets (ENWIDE tunnel_*)."""
+    def r(o, e1, e2):
+        return Rect(np.asarray(o, float), np.asarray(e1, float),
+                    np.asarray(e2, float))
+    return [
+        r([0, 0, 0], [length, 0, 0], [0, w, 0]),       # floor
+        r([0, 0, h], [length, 0, 0], [0, w, 0]),       # ceiling
+        r([0, 0, 0], [length, 0, 0], [0, 0, h]),       # wall y=0
+        r([0, w, 0], [length, 0, 0], [0, 0, h]),       # wall y=w
+    ]
+
+
 def raycast(world, origins, dirs, max_range=60.0):
     """Vectorized ray-rectangle intersection. origins/dirs [N,3] -> ranges [N]
     (inf where no hit)."""

@@ -14,7 +14,9 @@ import time
 
 def run(platform=None, dtype="float32", t_total=12.0, verbose=True,
         seed=0, imu_noise=0.0, range_noise=0.0, n_gn_iters=3,
-        use_photometric=False):
+        use_photometric=False, world=None, tc=None,
+        project_on_degeneracy=False, use_4dof=False,
+        project_degenerate=False):
     import jax
 
     if platform:
@@ -27,8 +29,8 @@ def run(platform=None, dtype="float32", t_total=12.0, verbose=True,
     from mimosa_tpu.lidar import geometric as geo
     from mimosa_tpu.mapping import voxel_hash as vh
 
-    world = syn.room_world()
-    tc = syn.TrajectoryConfig(t_total=t_total)
+    world = world if world is not None else syn.room_world()
+    tc = tc if tc is not None else syn.TrajectoryConfig(t_total=t_total)
     lm = syn.LidarModel()
     data = syn.generate(world, tc, lm, seed=seed, imu_noise=imu_noise,
                         range_noise=range_noise)
@@ -41,7 +43,8 @@ def run(platform=None, dtype="float32", t_total=12.0, verbose=True,
             fov_down=lm.fov_down, range_min=0.5, range_max=40.0,
             gradient_threshold=2.0, nma_radius=5, num_features=48,
             margin=3, intensity_scale=1.0, filter_brightness=False,
-            remove_lines=False, project_on_degeneracy=False)
+            remove_lines=False,
+            project_on_degeneracy=project_on_degeneracy)
 
     n_scan_pts = lm.n_rows * lm.n_cols
     s = seq.Sequencer(
@@ -56,7 +59,9 @@ def run(platform=None, dtype="float32", t_total=12.0, verbose=True,
         win_cfg=win.WindowConfig(K=6),
         map_cfg=vh.VoxelMapConfig(leaf_size=0.4, capacity_log2=17,
                                   plane_min_points=5, lru_horizon=0),
-        geo_cfg=geo.GeometricConfig(sigma=0.05, loc_count_thresh=50.0),
+        geo_cfg=geo.GeometricConfig(sigma=0.05, loc_count_thresh=50.0,
+                                    use_4dof=use_4dof,
+                                    project_degenerate=project_degenerate),
         dtype=jnp.float32,
     )
 

@@ -308,17 +308,24 @@ def detect_features(frame: Frame, feats: Features, q_wl, t_wl,
     R, C = frame.intensity.shape
     P = cfg.patch_size ** 2
     half = cfg.patch_size // 2
+    # Non-max suppression AMONG ELIGIBLE candidates only (the reference
+    # sorts candidates then suppresses by radius, photometric.cpp:516-745).
+    # Running the local-max on the raw gradient silently killed detection:
+    # Sobel artifacts at invalid pixels and the steep fov-edge rows (both
+    # excluded by mask/margin) won every suppression window, leaving ZERO
+    # interior candidates on frames with thousands of valid corners.
     gmag = jnp.sqrt(frame.gx ** 2 + frame.gy ** 2)
-
-    r = cfg.nma_radius
-    local_max = jax.lax.reduce_window(gmag, -jnp.inf, jax.lax.max,
-                                      (2 * r + 1, 2 * r + 1), (1, 1), "SAME")
     rows = jax.lax.broadcasted_iota(jnp.int32, (R, C), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (R, C), 1)
     margin_ok = (rows >= cfg.margin) & (rows < R - cfg.margin) & \
                 (cols >= cfg.margin) & (cols < C - cfg.margin)
-    cand = (gmag >= cfg.gradient_threshold) & (gmag >= local_max) & \
-        frame.mask & margin_ok
+    elig = (gmag >= cfg.gradient_threshold) & frame.mask & margin_ok
+    g_el = jnp.where(elig, gmag, 0.0)
+
+    r = cfg.nma_radius
+    local_max = jax.lax.reduce_window(g_el, -jnp.inf, jax.lax.max,
+                                      (2 * r + 1, 2 * r + 1), (1, 1), "SAME")
+    cand = elig & (g_el >= local_max)
 
     score = jnp.where(cand, gmag, -1.0)
     if degen_dirs is not None:
@@ -445,16 +452,23 @@ def linearize(frame: Frame, feats: Features, q_wl, t_wl,
         (r, (u, v, rng, fov)) = residual_one(z6, pts_w, psi_ref)
         J = jax.jacfwd(lambda xi: residual_one(xi, pts_w, psi_ref)[0])(z6)
 
-        # gates (photometric_factor.hpp:175-244)
+        # gates (photometric_factor.hpp:175-244). The margin gates the
+        # patch CENTER; outer patch pixels only need to lie inside the
+        # image — gating every pixel by margin rejected all features whose
+        # detection row sits within patch_half of the margin band (the
+        # detection margin permits them), silently killing ~half the store
+        # on every frame.
         ui = jnp.clip(jnp.round(u).astype(jnp.int32), 0, cfg.rows - 1)
         vi = jnp.clip(jnp.round(v).astype(jnp.int32), 0, cfg.cols - 1)
-        in_img = fov & (u >= cfg.margin) & (u < cfg.rows - cfg.margin)
+        in_img = fov & (u >= 0) & (u <= cfg.rows - 1)
+        ctr = P // 2
+        center_ok = (u[ctr] >= cfg.margin) & (u[ctr] < cfg.rows - cfg.margin)
         in_rng = (rng >= cfg.range_min) & (rng <= cfg.range_max)
         masked = frame.mask[ui, vi]
         img_rng = frame.rng[ui, vi]
         not_occl = jnp.abs(img_rng - rng) <= cfg.occlusion_range_diff * rng
         pix_ok = in_img & in_rng & masked & not_occl
-        all_ok = valid_f & pix_ok.all()
+        all_ok = valid_f & pix_ok.all() & center_ok
 
         # NCC gate: correlation of current patch with reference
         ncc = jnp.sum(get_psi(bilinear(frame.intensity, u, v)) * psi_ref)
