@@ -1469,13 +1469,22 @@ def _scan_ooo_step(window, vmap, preints, fv, scan_f, pt_valid, imu_a,
     matches = geo.match(vmap, pts_geo, window.q[slot], window.p[slot],
                         map_cfg)
     imu_cache = win.imu_factor_cache(window, preints, win_cfg)
+
+    def geo_meas(icp_):
+        # same optional degeneracy projection as the main scan path
+        if not geo_cfg.project_degenerate:
+            return icp_.H, icp_.b
+        Pp = geo.degeneracy_projector(icp_)
+        return Pp @ icp_.H @ Pp.T, Pp @ icp_.b
+
     icp = None
     for _ in range(seq_cfg.n_gn_iters):
         icp = geo.linearize_with(matches, pts_geo, geo_valid,
                                  window.q[slot], window.p[slot], geo_cfg,
                                  g_dir=window.g_dir)
         H, rhs = win.build_system(window, preints, fv, win_cfg,
-                                  meas=[(win.pose_idx(slot), icp.H, icp.b)],
+                                  meas=[(win.pose_idx(slot),
+                                         *geo_meas(icp))],
                                   imu_cache=imu_cache)
         dx = win.solve(H, rhs)
         window = win.apply_update(window, dx, win_cfg)
