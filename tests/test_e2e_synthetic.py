@@ -29,3 +29,12 @@ def test_e2e_deterministic():
     ta = np.asarray([p for _, p, _ in a["sequencer"].trajectory])
     tb = np.asarray([p for _, p, _ in b["sequencer"].trajectory])
     np.testing.assert_array_equal(ta, tb)
+
+
+def test_e2e_4dof_registration():
+    """reg_4_dof (ref geometric_factor.hpp:255-259, the lri_4dof ablation):
+    ICP constrains only yaw+translation, roll/pitch ride gravity/IMU — the
+    full replay must still track."""
+    out = sr.run(t_total=5.0, verbose=False, seed=1, imu_noise=0.01,
+                 range_noise=0.005, use_4dof=True)
+    assert out["ate"] < 0.08, out["ate"]
