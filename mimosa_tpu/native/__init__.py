@@ -29,8 +29,9 @@ _DTYPE_CODE = {None: 0, np.dtype(np.int8): 1, np.dtype(np.uint8): 2,
 def _build():
     so = os.path.join(_HERE, "_native.so")
     src = os.path.join(_HERE, "decode.cc")
-    if (not os.path.exists(so)
-            or os.path.getmtime(so) < os.path.getmtime(src)):
+    newest_src = max(os.path.getmtime(os.path.join(_HERE, f))
+                     for f in ("decode.cc", "pack.inc"))
+    if not os.path.exists(so) or os.path.getmtime(so) < newest_src:
         subprocess.run(
             ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
              src, "-o", so],

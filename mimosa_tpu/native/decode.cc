@@ -156,8 +156,6 @@ int64_t mimosa_ring_sort(const int32_t* rings, int64_t n, int32_t n_rings,
 
 }  // extern "C"
 
-extern "C" {
-
 // Fused scan staging pack (the host hot path of Sequencer.stage_scan):
 // point-skip + pad/truncate + int16 quantization with the invalid-lane
 // sentinel in ONE pass, replacing a ~6-pass numpy pipeline. Also returns
@@ -174,6 +172,7 @@ extern "C" {
 // grid bias voxel plane normals toward lattice directions (staircase
 // aliasing) badly enough to halve ICP inliers — measured on the noiseless
 // synthetic bag replay (ATE 2.5 m gridded vs 0.02 m dithered).
+
 static inline double dither01(uint64_t i, uint32_t salt) {
   uint32_t h = static_cast<uint32_t>(i) * 2654435761u ^ salt;
   h ^= h >> 16;
@@ -182,90 +181,33 @@ static inline double dither01(uint64_t i, uint32_t salt) {
   return h * (1.0 / 4294967296.0) - 0.5;
 }
 
-int64_t mimosa_pack_scan(const void* pts, int32_t pts_dtype,
+#include "pack.inc"
+
+extern "C" int64_t mimosa_pack_scan(const void* pts, int32_t pts_dtype,
                          const void* t_rel, int32_t t_dtype,
                          const uint8_t* valid, const void* inten,
                          int32_t inten_dtype, int64_t n_in, int64_t skip,
                          int64_t n_out, int32_t ncol, double pos_res,
                          double t_res, double int_res, int32_t dither,
                          int16_t* out, double* t_end_out) {
-  const float* pf = static_cast<const float*>(pts);
-  const double* pd = static_cast<const double*>(pts);
-  const float* tf = static_cast<const float*>(t_rel);
-  const double* td = static_cast<const double*>(t_rel);
-  const float* inf_ = static_cast<const float*>(inten);
-  const double* ind_ = static_cast<const double*>(inten);
-  const double inv_pos = 1.0 / pos_res;
-  const double inv_t = 1.0 / t_res;
-  const double inv_int = int_res > 0 ? 1.0 / int_res : 0.0;
-  double t_end = 0.0;
-  bool any_valid = false;
-  int64_t j = 0;
-  for (int64_t i = 0; i < n_in; ++i) {
-    double x, y, z, t;
-    if (pts_dtype == kF64) {
-      x = pd[3 * i];
-      y = pd[3 * i + 1];
-      z = pd[3 * i + 2];
-    } else {
-      x = pf[3 * i];
-      y = pf[3 * i + 1];
-      z = pf[3 * i + 2];
-    }
-    t = (t_dtype == kF64) ? td[i] : tf[i];
-    const bool finite =
-        std::isfinite(x) && std::isfinite(y) && std::isfinite(z);
-    const bool ok = (valid ? (valid[i] != 0) : finite) && finite &&
-                    std::isfinite(t);
-    if (ok && (!any_valid || t > t_end)) {
-      t_end = t;
-      any_valid = true;
-    }
-    if (i % skip != 0 || j >= n_out) continue;
-    const uint64_t lane = static_cast<uint64_t>(j);  // packed row index:
-    // the dither key must be recomputable on-device at decode time, where
-    // only the packed row position is known (subtractive dither: the
-    // decoder subtracts the same offset before scaling back)
-    int16_t* row = out + j * ncol;
-    ++j;
-    if (!ok) {
-      row[0] = row[1] = row[2] = 0;
-      row[3] = -32768;
-      if (ncol > 4) row[4] = 0;
-      continue;
-    }
-    auto quant_pos = [&](double v, uint32_t salt) {
-      double d = dither ? dither01(lane, salt) : 0.0;
-      double q = std::nearbyint(v * inv_pos + d);
-      if (q > 32767.0) q = 32767.0;
-      if (q < -32767.0) q = -32767.0;
-      return static_cast<int16_t>(q);
-    };
-    row[0] = quant_pos(x, 0xA511E9B3u);
-    row[1] = quant_pos(y, 0x63D83595u);
-    row[2] = quant_pos(z, 0x1B873593u);
-    double qt = std::nearbyint(t * inv_t);
-    if (qt < 0.0) qt = 0.0;
-    if (qt > 65534.0) qt = 65534.0;
-    row[3] = static_cast<int16_t>(qt - 32767.0);
-    if (ncol > 4) {
-      double iv = inten ? ((inten_dtype == kF64) ? ind_[i] : inf_[i]) : 0.0;
-      if (!std::isfinite(iv)) iv = 0.0;
-      double qi = std::nearbyint(iv * inv_int);
-      if (qi < 0.0) qi = 0.0;
-      if (qi > 32767.0) qi = 32767.0;
-      row[4] = static_cast<int16_t>(qi);
-    }
+  // dtype dispatch into the templated two-pass implementation (pack.inc)
+  // so each instantiation is a tight, autovectorizable loop
+  const bool p64 = pts_dtype == kF64;
+  const bool t64 = t_dtype == kF64;
+  const bool i64 = inten_dtype == kF64;
+#define CALL(PT, TT, IT)                                                   \
+  pack_scan_impl<PT, TT, IT>(static_cast<const PT*>(pts),                  \
+                             static_cast<const TT*>(t_rel), valid,         \
+                             static_cast<const IT*>(inten), n_in, skip,    \
+                             n_out, ncol, pos_res, t_res, int_res, dither, \
+                             out, t_end_out)
+  if (p64) {
+    if (t64) return i64 ? CALL(double, double, double)
+                        : CALL(double, double, float);
+    return i64 ? CALL(double, float, double) : CALL(double, float, float);
   }
-  // padding rows beyond the consumed inputs
-  for (; j < n_out; ++j) {
-    int16_t* row = out + j * ncol;
-    row[0] = row[1] = row[2] = 0;
-    row[3] = -32768;
-    if (ncol > 4) row[4] = 0;
-  }
-  *t_end_out = t_end;
-  return any_valid ? 1 : 0;
+  if (t64) return i64 ? CALL(float, double, double)
+                      : CALL(float, double, float);
+  return i64 ? CALL(float, float, double) : CALL(float, float, float);
+#undef CALL
 }
-
-}  // extern "C"
