@@ -166,3 +166,47 @@ def test_step_control_semantics():
     assert sc.gate()
     assert not sc.gate()                      # abort
     assert not sc.gate()                      # stays aborted
+
+
+def test_dataset_evaluation_harness(tmp_path):
+    """scripts/dataset_evaluation.py end-to-end over a synthetic mini
+    dataset: per-sequence JSON rows + the COIN-LIO markdown table."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    lm = syn.LidarModel()
+    # t_total=5.0: the variant measured robust across x64/dither numeric
+    # modes (t=4 ends mid-maneuver and is chronically marginal)
+    data = syn.generate(syn.room_world(), syn.TrajectoryConfig(t_total=5.0),
+                        lm, seed=0, imu_noise=0.01, range_noise=0.005)
+    seq_dir = tmp_path / "dataset" / "tunnel_s"
+    seq_dir.mkdir(parents=True)
+    write_synthetic_bag(str(seq_dir / "seq.bag"), data)
+    with open(seq_dir / "gt.tum", "w") as f:
+        for t, p, q in zip(data["gt"]["ts"], data["gt"]["pos"],
+                           data["gt"]["quat"]):
+            f.write(f"{t} {p[0]} {p[1]} {p[2]} {q[1]} {q[2]} {q[3]} "
+                    f"{q[0]}\n")
+    cfgp = tmp_path / "params.yaml"
+    with open(cfgp, "w") as f:
+        yaml.safe_dump(SYN_PARAMS, f)
+
+    out_dir = tmp_path / "eval_out"
+    script = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "scripts", "dataset_evaluation.py")
+    r = subprocess.run(
+        [sys.executable, script, "--dataset-dir",
+         str(tmp_path / "dataset"), "--config", str(cfgp),
+         "--imu-topic", "/imu", "--lidar-topic", "/points",
+         "--out", str(out_dir), "--platform", "cpu"],
+        capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    row = json.loads([ln for ln in r.stdout.splitlines()
+                      if ln.startswith("{")][0])
+    assert row["sequence"] == "tunnel_s" and row["poses"] > 20
+    assert row["ate"] < 0.08
+    md = (out_dir / "results.md").read_text()
+    assert "tunnel_s" in md and "0.743" in md   # COIN-LIO column present
+    assert (out_dir / "tunnel_s.tum").exists()
