@@ -95,11 +95,11 @@ def main():
             # host pack + H2D transfer in flight — while scan i runs on
             # device
             st = staged_next
-            while imu_i < len(imu["ts"]) and \
-                    imu["ts"][imu_i] <= st["t_end"] + 0.03:
-                s.add_imu(imu["ts"][imu_i], imu["acc"][imu_i],
-                          imu["gyro"][imu_i])
-                imu_i += 1
+            j = int(np.searchsorted(imu["ts"], st["t_end"] + 0.03, "right"))
+            if j > imu_i:
+                s.add_imu_batch(imu["ts"][imu_i:j], imu["acc"][imu_i:j],
+                                imu["gyro"][imu_i:j])
+                imu_i = j
             s.add_scan(st["ts_header"], staged=st)   # async dispatch
             if i + 1 < len(scans):
                 staged_next = stage(i + 1)
