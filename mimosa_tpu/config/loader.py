@@ -156,15 +156,31 @@ def photometric_from_reference(raw: dict, ouster_meta=None):
         filter_brightness=bool(g("filter_brightness", True)),
         brightness_window=tuple(g("brightness_window_size", (41, 7))),
         gaussian_blur=bool(g("gaussian_blur", True)),
+        gaussian_blur_size=int(g("gaussian_blur_size", 3)),
+        hp_fir=tuple(g("high_pass_fir", ())),
+        lp_fir=tuple(g("low_pass_fir", ())),
+        # the reference's gradient magnitudes come from cv::Sobel ksize=1
+        # scale=0.5 (central difference) — its gradient_threshold values
+        # are tuned for that scale
+        grad_kernel="central",
         gradient_threshold=float(g("gradient_threshold", 10.0)),
         nma_radius=int(g("nma_radius", 11)),
         num_features=int(g("num_features_detect", 60)),
         max_feature_life=int(g("max_feature_life_time", 1000)),
         occlusion_range_diff=float(
             g("occlusion_range_diff_threshold", 0.2)),
+        max_dist_from_mean=float(g("max_dist_from_mean", 3.0)),
+        max_dist_from_plane=float(g("max_dist_from_plane", 0.5)),
         sigma=float(g("sigma", 0.25)),
+        use_robust=bool(g("use_robust_cost_function", True)),
+        robust=str(g("robust_cost_function", "huber")),
+        huber_delta=float(g("robust_cost_function_parameter", 1.345)),
         max_error=float(g("max_error", 0.5075)),
+        static_mask_path=str(g("static_mask_path", "")),
     )
+    if kw["robust"] not in ("huber", "gemanmcclure"):
+        raise ConfigError("robust_cost_function must be huber or "
+                          "gemanmcclure")
     if ouster_meta:
         kw.update(rows=ouster_meta["rows"], cols=ouster_meta["cols"],
                   beam_altitudes=ouster_meta["beam_altitudes"])
@@ -232,10 +248,12 @@ def from_reference_dict(raw: dict, declare_rate_hz=10.0,
     # ---- geometric ICP (ref geometric_config.cpp)
     sigma = float(g("lidar/geometric/scan_to_map/lidar_point_noise_std_dev",
                     0.07))
+    use_huber = bool(g("lidar/geometric/scan_to_map/use_huber", True))
     geometric = GeometricConfig(
         sigma=sigma,
-        huber_delta=float(
-            g("lidar/geometric/scan_to_map/huber_threshold", 1.345)) * sigma,
+        huber_delta=(float(
+            g("lidar/geometric/scan_to_map/huber_threshold", 1.345)) * sigma
+            if use_huber else 1e30),
         max_p2p_dist=float(
             g("lidar/geometric/scan_to_map/max_corres_distance", 1.0)),
         use_4dof=bool(g("lidar/geometric/scan_to_map/reg_4_dof", False)),
@@ -243,6 +261,10 @@ def from_reference_dict(raw: dict, declare_rate_hz=10.0,
             g("lidar/geometric/scan_to_map/project_on_degneneracy", False)),
         loc_count_thresh=float(
             g("lidar/geometric/scan_to_map/degen_thresh_trans", 40.0)),
+        # the reference keeps a separate (usually 0 = never degenerate)
+        # rotation threshold, geometric_config.hpp:31
+        loc_count_thresh_rot=float(
+            g("lidar/geometric/scan_to_map/degen_thresh_rot", 0.0)),
     )
 
     # ---- radar (ref src/radar/manager.cpp config)
@@ -260,11 +282,12 @@ def from_reference_dict(raw: dict, declare_rate_hz=10.0,
         use_to_init=bool(g("radar/manager/use_to_init", False)),
     )
 
-    # ---- odometry
+    # ---- odometry (ref src/odometry/manager.cpp:82-84 key names)
     q_bs, t_bs = _pose7(g("odometry/T_B_S", [0, 0, 0, 0, 0, 0, 1]))
     odometry = OdometryConfig(
-        sigma_rot=float(g("odometry/manager/sigma_rot", 0.02)),
-        sigma_trans=float(g("odometry/manager/sigma_trans", 0.05)),
+        sigma_rot=float(g("odometry/manager/sigma_rot_deg", 1.15)) * deg,
+        sigma_trans=float(g("odometry/manager/sigma_trans_m", 0.05)),
+        max_d_optimality=float(g("odometry/manager/d_opt_thresh", 1e-2)),
         q_b_s=q_bs, t_b_s=t_bs,
         use_to_init=bool(g("odometry/manager/use_to_init", False)),
     )
@@ -297,6 +320,11 @@ def from_reference_dict(raw: dict, declare_rate_hz=10.0,
             1),
         acc_var=float(g("imu/preintegration/acc_noise_density", 0.2)) ** 2,
         gyro_var=float(g("imu/preintegration/gyro_noise_density", 0.026)) ** 2,
+        int_var=max(float(g("imu/preintegration/integration_sigma", 0.0)),
+                    1e-4) ** 2,
+        imu_acc_scale=float(g("imu/manager/acc_scale_factor", 1.0)),
+        imu_max_buffer_duration=float(
+            g("imu/manager/max_buffer_duration", 30.0)),
         q_b_l=q_bl, t_b_l=t_bl,
         # finest int16 position resolution that still covers the platform's
         # lidar range (2% headroom); floors at the default 2.5 mm

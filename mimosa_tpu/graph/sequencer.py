@@ -71,6 +71,10 @@ class SequencerConfig:
     # IMU noise (continuous densities squared)
     acc_var: float = 1e-3
     gyro_var: float = 1e-5
+    int_var: float = 1e-8             # ref imu/preintegration/integration_sigma^2
+    # host IMU buffer (ref imu/manager acc_scale_factor, max_buffer_duration)
+    imu_acc_scale: float = 1.0
+    imu_max_buffer_duration: float = 30.0
     # extrinsics T_B_L (lidar in body)
     q_b_l: tuple = (1.0, 0.0, 0.0, 0.0)
     t_b_l: tuple = (0.0, 0.0, 0.0)
@@ -145,10 +149,13 @@ class Sequencer:
         if photo_cfg is not None:
             from mimosa_tpu.lidar import photometric as ph
             self.features = ph.empty_features(photo_cfg, dtype)
+            self._static_mask = ph.load_static_mask(photo_cfg)
         else:
             self.features = None
+            self._static_mask = None
 
-        self.imu = ImuBuffer()
+        self.imu = ImuBuffer(max_duration=seq_cfg.imu_max_buffer_duration,
+                             acc_scale=seq_cfg.imu_acc_scale)
         self.window = win.create(win_cfg, dtype)
         self.vmap = vh.create(map_cfg, dtype)
         K = win_cfg.K
@@ -204,7 +211,7 @@ class Sequencer:
             self._step_cache[key] = jax.jit(functools.partial(
                 _scan_step, seq_cfg=self.cfg, win_cfg=self.win_cfg,
                 map_cfg=self.map_cfg, geo_cfg=self.geo_cfg,
-                photo_cfg=self.photo_cfg,
+                photo_cfg=self.photo_cfg, static_mask=self._static_mask,
                 marginalize_first=marginalize_first, append=append))
         return self._step_cache[key]
 
@@ -932,7 +939,7 @@ def _scan_step(window, vmap, preints, fv, scan_f, pt_valid,
                kf_q, kf_p, kf_count, traj_q, traj_p,
                debug_rec, features=None,
                *, seq_cfg, win_cfg, map_cfg, geo_cfg, photo_cfg=None,
-               linearize_fn=None, map_update_fn=None,
+               static_mask=None, linearize_fn=None, map_update_fn=None,
                marginalize_first=False, append=True):
     """The whole per-scan pipeline as one XLA program — deskew, downsample,
     predict/append, GN with live relinearization, prior absorption,
@@ -1019,7 +1026,7 @@ def _scan_step(window, vmap, preints, fv, scan_f, pt_valid,
         # 2) preintegrate the IMU factor segment last->new
         seg = pre.preintegrate(accs, gyros, dts, bg, ba,
                                seq_cfg.acc_var, seq_cfg.gyro_var,
-                               valid=seg_valid)
+                               int_var=seq_cfg.int_var, valid=seg_valid)
         preints = _set_segment(preints, last, seg)
         fv = fv.at[last].set(True)
 
@@ -1043,7 +1050,8 @@ def _scan_step(window, vmap, preints, fv, scan_f, pt_valid,
     A_bl = None
     if photo_cfg is not None:
         from mimosa_tpu.lidar import photometric as ph
-        frame = ph.make_frame(dsk.points_le, intensity, pt_valid, photo_cfg)
+        frame = ph.make_frame(dsk.points_le, intensity, pt_valid,
+                              photo_cfg, static_mask=static_mask)
         A_bl = lie.pose_tangent_adjoint(q_bl, t_bl)  # body->lidar tangent map
 
     def photo_block(icp_res):
@@ -1381,7 +1389,8 @@ def _declare_core(window, preints, fv, accs, gyros, dts, seg_valid,
     last = n_active - 1
     bg, ba = window.bg[last], window.ba[last]
     seg = pre.preintegrate(accs, gyros, dts, bg, ba, seq_cfg.acc_var,
-                           seq_cfg.gyro_var, valid=seg_valid)
+                           seq_cfg.gyro_var, int_var=seq_cfg.int_var,
+                           valid=seg_valid)
     preints = _set_segment(preints, last, seg)
     fv = fv.at[last].set(True)
     qn, pn, vn = pre.predict(seg, window.q[last], window.p[last],
@@ -1449,9 +1458,11 @@ def _scan_ooo_step(window, vmap, preints, fv, scan_f, pt_valid, imu_a,
     dts_b, vb = imu_b[:, 6], imu_b[:, 7] > 0.5
 
     seg_a = pre.preintegrate(accs_a, gyros_a, dts_a, bg, ba, seq_cfg.acc_var,
-                             seq_cfg.gyro_var, valid=va)
+                             seq_cfg.gyro_var, int_var=seq_cfg.int_var,
+                             valid=va)
     seg_b = pre.preintegrate(accs_b, gyros_b, dts_b, bg, ba, seq_cfg.acc_var,
-                             seq_cfg.gyro_var, valid=vb)
+                             seq_cfg.gyro_var, int_var=seq_cfg.int_var,
+                             valid=vb)
     qn, pn, vn = pre.predict(seg_a, window.q[prev], window.p[prev],
                              window.v[prev], g_vec)
 
@@ -1543,9 +1554,11 @@ def _radar_ooo_step(window, preints, fv, accs_a, gyros_a, dts_a, valid_a,
     prev = pos - 1
     bg, ba = window.bg[prev], window.ba[prev]
     seg_a = pre.preintegrate(accs_a, gyros_a, dts_a, bg, ba, seq_cfg.acc_var,
-                             seq_cfg.gyro_var, valid=valid_a)
+                             seq_cfg.gyro_var, int_var=seq_cfg.int_var,
+                             valid=valid_a)
     seg_b = pre.preintegrate(accs_b, gyros_b, dts_b, bg, ba, seq_cfg.acc_var,
-                             seq_cfg.gyro_var, valid=valid_b)
+                             seq_cfg.gyro_var, int_var=seq_cfg.int_var,
+                             valid=valid_b)
     qn, pn, vn = pre.predict(seg_a, window.q[prev], window.p[prev],
                              window.v[prev], window.g_dir * seq_cfg.g_mag)
     window = win.insert_state_at(window, pos, qn, pn, vn, bg, ba, 0.0,

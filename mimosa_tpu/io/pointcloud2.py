@@ -103,18 +103,24 @@ def structured_view(data: bytes | np.ndarray, fields, point_step: int):
     return buf[: n * point_step].view(dt)
 
 
-def decode(data, fields, point_step, header_stamp=0.0, fmt=None):
+def decode(data, fields, point_step, header_stamp=0.0, fmt=None,
+           use_reflectivity=False):
     """Decode raw cloud bytes into columnar arrays.
 
     Returns dict(points [N,3] f32, intensity [N] f32, t_rel [N] f64 seconds
     relative to header_stamp, ring [N] i32 (-1 if absent), fmt).
+    ``use_reflectivity`` prefers the reflectivity field over intensity when
+    both exist (ref lidar/manager use_reflectivity_as_intensity).
     """
     fmt = fmt or detect_format(fields)
     v = structured_view(data, fields, point_step)
     n = len(v)
     pts = np.stack([v["x"], v["y"], v["z"]], axis=-1).astype(np.float32)
 
-    if "intensity" in v.dtype.names:
+    names = v.dtype.names
+    if use_reflectivity and "reflectivity" in names:
+        inten = v["reflectivity"].astype(np.float32)
+    elif "intensity" in names:
         inten = v["intensity"].astype(np.float32)
     elif fmt == "ouster_odyssey":
         inten = v["reflectivity"].astype(np.float32)

@@ -124,6 +124,21 @@ def replay_bag(bag_path, config_path, imu_topic, lidar_topic,
     # divisor in arrival order would drop whole rings — reorganize by ring
     # (native counting sort) and skip in ring-major order instead
     organize = bool(lidar_mgr.get("organize_pointcloud_by_ring", False))
+    use_refl = bool(lidar_mgr.get("use_reflectivity_as_intensity", False))
+    sq_range = bool(lidar_mgr.get("scale_intensity_by_sq_range", False))
+
+    # per-sensor timestamp offsets + initial message skips (the reference's
+    # SensorManagerBase config base: ts_offset, initial_skip —
+    # sensor_manager_base.hpp:15-27; imu ts_offset at imu/manager config)
+    def _sensor_base(ns):
+        mgr = raw_cfg.get(ns, {}).get("manager", {})
+        return float(mgr.get("ts_offset", 0.0)), int(
+            mgr.get("initial_skip", 0))
+    ts_off = {}
+    skip_left = {}
+    for ns, key in (("imu", "imu"), ("lidar", "lidar"), ("radar", "radar"),
+                    ("odometry", "odom")):
+        ts_off[key], skip_left[key] = _sensor_base(ns)
 
     import glob as _glob
     bag_files = sorted(_glob.glob(bag_path)) if any(
@@ -145,17 +160,28 @@ def replay_bag(bag_path, config_path, imu_topic, lidar_topic,
         if t < t0 or t > t_stop:
             continue
         if topic == imu_topic:
-            s.add_imu(m["stamp"], m["acc"], m["gyro"])
+            if skip_left["imu"] > 0:
+                skip_left["imu"] -= 1
+                continue
+            s.add_imu(m["stamp"] + ts_off["imu"], m["acc"], m["gyro"])
             while pending and s.imu.t_last is not None and \
                     pending[0][0] <= s.imu.t_last:
                 _, st = pending.pop(0)
                 s.add_scan(st["ts_header"], staged=st)
                 n_proc += 1
         elif topic == lidar_topic:
+            if skip_left["lidar"] > 0:
+                skip_left["lidar"] -= 1
+                continue
             if step_control is not None and not step_control.gate():
                 break                     # user abort ('q')
+            stamp = m["stamp"] + ts_off["lidar"]
             d = pc2.decode(m["data"], m["fields"], m["point_step"],
-                           header_stamp=m["stamp"])
+                           header_stamp=stamp, use_reflectivity=use_refl)
+            if sq_range:
+                # ref scale_intensity_by_sq_range: undo 1/r^2 falloff
+                d["intensity"] = d["intensity"] * np.einsum(
+                    "ni,ni->n", d["points"], d["points"])
             if organize:
                 from mimosa_tpu import native
                 ok = pc2.point_filters(d["points"], d["intensity"],
@@ -173,21 +199,28 @@ def replay_bag(bag_path, config_path, imu_topic, lidar_topic,
                                        d["ring"], **filters)
             # stage at arrival: the pack + H2D transfer overlap the device
             # work of earlier scans while this one waits for IMU coverage
-            st = s.stage_scan(m["stamp"], d["points"], d["t_rel"], ok,
+            st = s.stage_scan(stamp, d["points"], d["t_rel"], ok,
                               intensity=d["intensity"])
             pending.append((st["t_end"], st))
         elif radar_topic and topic == radar_topic:
+            if skip_left["radar"] > 0:
+                skip_left["radar"] -= 1
+                continue
             d = pc2.decode_radar(m["data"], m["fields"], m["point_step"])
             dop = d["doppler"]
             snr = d["snr_db"]
-            ts_r = m["stamp"]
+            ts_r = m["stamp"] + ts_off["radar"]
             if not bool(raw_cfg.get("radar", {}).get("manager", {})
                         .get("is_exposure_compensated", True)):
                 ts_r += float(raw_cfg["radar"]["manager"]
                               .get("frame_ms", 0.0)) * 1e-3 / 2.0
             s.add_radar(ts_r, d["points"], dop, snr)
         elif odom_topic and topic == odom_topic:
-            s.add_odometry(m["stamp"], m["q"], m["p"], m["pose_cov"])
+            if skip_left["odom"] > 0:
+                skip_left["odom"] -= 1
+                continue
+            s.add_odometry(m["stamp"] + ts_off["odom"], m["q"], m["p"],
+                           m["pose_cov"])
     wall = time.time() - t_start
     if verbose:
         print(f"replayed {n_proc} scans in {wall:.1f}s "

@@ -50,7 +50,11 @@ class GeometricConfig:
     s_gate_min: float = 0.9           # s-score gate (ref :319-328)
     max_p2p_dist: float = 0.5         # hard residual gate [m]
     loc_proj_cutoff: float = 0.5      # per-point |J·v| cutoff (ref :443)
-    loc_count_thresh: float = 120.0   # min #strong points per eigen axis
+    loc_count_thresh: float = 120.0   # min #strong points per trans axis
+    # the reference keeps separate rot/trans thresholds (degen_thresh_rot /
+    # degen_thresh_trans, geometric_config.hpp:31-32; its configs even set
+    # rot to 0 = rotation never flagged degenerate)
+    loc_count_thresh_rot: float = 120.0
     use_4dof: bool = False            # project out world roll/pitch
     project_degenerate: bool = False  # zero GN update in weak directions
 
@@ -137,7 +141,7 @@ def linearize_with(matches, points_b, valid, q, t, cfg: GeometricConfig,
     proj_t = jnp.abs(j_trans @ V_t)
     cnt_r = jnp.sum((proj_r >= cfg.loc_proj_cutoff) & inlier[:, None], axis=0)
     cnt_t = jnp.sum((proj_t >= cfg.loc_proj_cutoff) & inlier[:, None], axis=0)
-    degen_r = cnt_r < cfg.loc_count_thresh
+    degen_r = cnt_r < cfg.loc_count_thresh_rot
     degen_t = cnt_t < cfg.loc_count_thresh
 
     mean_abs = jnp.sum(ar * m) / jnp.maximum(jnp.sum(m), 1.0)

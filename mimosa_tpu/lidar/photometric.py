@@ -37,7 +37,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from mimosa_tpu.core import lie
+from mimosa_tpu.core import eigh3, lie
 
 # feature/projection rejection statuses (ref LidarPhotometricDebug.msg)
 PH_OK = 0
@@ -68,14 +68,35 @@ class PhotometricConfig:
     filter_brightness: bool = True
     brightness_window: tuple = (41, 7)
     gaussian_blur: bool = True
+    gaussian_blur_size: int = 3       # ref gaussian_blur_size (odd)
+    # FIR taps for the line-removal chain (ref high_pass_fir/low_pass_fir
+    # config keys; defaults = the values every reference config ships)
+    hp_fir: tuple = ()                # empty -> _HP_FIR
+    lp_fir: tuple = ()                # empty -> _LP_FIR
+    # gradient kernel: "sobel3" (3x3 Sobel) or "central" (the reference's
+    # cv::Sobel ksize=1 scale=0.5 central difference — 8x smaller magnitude,
+    # so gradient_threshold values tuned for one do not transfer)
+    grad_kernel: str = "sobel3"
     gradient_threshold: float = 10.0
     nma_radius: int = 11
     num_features: int = 60            # live feature budget
     max_feature_life: int = 1000
     occlusion_range_diff: float = 0.2
+    # patch 3D validity at detection (ref photometric.cpp:700-725): every
+    # patch point within max_dist_from_mean of the patch centroid and
+    # within max_dist_from_plane of the patch plane
+    max_dist_from_mean: float = 3.0
+    max_dist_from_plane: float = 0.5
     sigma: float = 0.25
-    huber_delta: float = 1.345
+    # robust cost on the whitened residual norm
+    # (ref photometric_factor.hpp:303-317): "huber" or "gemanmcclure"
+    use_robust: bool = True
+    robust: str = "huber"
+    huber_delta: float = 1.345        # ref robust_cost_function_parameter
     max_error: float = 0.5075
+    # static environment mask file (ref static_mask_path, zeros = masked);
+    # .npy bool/uint8 array or grayscale image loadable by PIL
+    static_mask_path: str = ""
     project_on_degeneracy: bool = True  # unary VSV^T selection
 
 
@@ -196,30 +217,40 @@ def _box_blur(img, h, w):
 
 
 def normalize_intensity(iimg, valid_mask, cfg: PhotometricConfig):
-    """The reference's normalization chain (photometric.cpp:305-347)."""
+    """The reference's normalization chain (photometric.cpp:244-301)."""
     img = iimg * cfg.intensity_scale
     if cfg.intensity_gamma != 1.0:
         img = jnp.power(jnp.maximum(img, 0.0), cfg.intensity_gamma)
     if cfg.remove_lines:
-        hp = jnp.asarray(_HP_FIR, img.dtype)[:, None]   # vertical high-pass
-        lp = jnp.asarray(_LP_FIR, img.dtype)[None, :]   # horizontal low-pass
+        hp = jnp.asarray(cfg.hp_fir or _HP_FIR, img.dtype)[:, None]
+        lp = jnp.asarray(cfg.lp_fir or _LP_FIR, img.dtype)[None, :]
         lines = _conv2(_conv2(img, hp), lp)
-        img = img - lines
+        # clip negatives after line subtraction (photometric.cpp:334-336)
+        img = jnp.maximum(img - lines, 0.0)
     if cfg.filter_brightness:
         bw, bh = cfg.brightness_window
-        base = _box_blur(img, bh, bw)
-        img = img / jnp.maximum(base, 1e-3) * 100.0
+        # img = 140 * img / (blur + 1)  (photometric.cpp:339-347)
+        img = 140.0 * img / (_box_blur(img, bh, bw) + 1.0)
     if cfg.gaussian_blur:
-        g = jnp.asarray([1.0, 2.0, 1.0], img.dtype)
-        g = jnp.outer(g, g)
+        k = cfg.gaussian_blur_size
+        # OpenCV's default sigma for ksize k (GaussianBlur with sigma=0)
+        s = 0.3 * ((k - 1) * 0.5 - 1.0) + 0.8
+        x = jnp.arange(k, dtype=img.dtype) - (k - 1) / 2.0
+        g1 = jnp.exp(-0.5 * (x / s) ** 2)
+        g = jnp.outer(g1, g1)
         img = _conv2(img, g / g.sum())
-    img = jnp.clip(img, 0.0, 255.0)
+    img = jnp.minimum(img, 255.0)   # THRESH_TRUNC (photometric.cpp:297)
     return jnp.where(valid_mask, img, 0.0)
 
 
-def sobel(img):
-    kx = jnp.asarray([[-1.0, 0, 1], [-2, 0, 2], [-1, 0, 1]])
-    ky = kx.T
+def sobel(img, kind="sobel3"):
+    if kind == "central":
+        # the reference's cv::Sobel(ksize=1, scale=0.5): [-0.5, 0, 0.5]
+        kx = jnp.asarray([[-0.5, 0.0, 0.5]])
+        ky = kx.T
+    else:
+        kx = jnp.asarray([[-1.0, 0, 1], [-2, 0, 2], [-1, 0, 1]])
+        ky = kx.T
     return _conv2(img, kx.astype(img.dtype)), _conv2(img, ky.astype(img.dtype))
 
 
@@ -231,11 +262,36 @@ def erode(mask, k):
     return out > 0.5
 
 
-def make_frame(points_le, intensity, valid, cfg: PhotometricConfig) -> Frame:
+def load_static_mask(cfg: PhotometricConfig):
+    """Load the static environment mask (ref photometric.cpp:52-68; zeros
+    mark always-invalid pixels, e.g. the robot frame). Returns a [R,C]
+    bool array or None. Accepts .npy arrays or any grayscale image PIL can
+    read."""
+    if not cfg.static_mask_path:
+        return None
+    import numpy as np
+    p = cfg.static_mask_path
+    if p.endswith(".npy"):
+        m = np.load(p)
+    else:
+        from PIL import Image
+        m = np.asarray(Image.open(p).convert("L"))
+    if m.shape != (cfg.rows, cfg.cols):
+        raise ValueError(f"static mask {m.shape} != image "
+                         f"({cfg.rows},{cfg.cols})")
+    return m.astype(bool)
+
+
+def make_frame(points_le, intensity, valid, cfg: PhotometricConfig,
+               static_mask=None) -> Frame:
     iimg, rimg = build_images(points_le, intensity, valid, cfg)
     vmask = rimg > 0
     inorm = normalize_intensity(iimg, vmask, cfg)
-    gx, gy = sobel(inorm)
+    gx, gy = sobel(inorm, cfg.grad_kernel)
+    if static_mask is not None:
+        # zeros of the static mask are always invalid (createMask,
+        # photometric.cpp:349-371), applied before erosion
+        vmask = vmask & static_mask
     k = (cfg.patch_size // 2) + max(cfg.erosion_buffer // 4, 1)
     mask = erode(vmask, k)
     return Frame(inorm, rimg, mask, gx, gy)
@@ -320,6 +376,24 @@ def detect_features(frame: Frame, feats: Features, q_wl, t_wl,
     margin_ok = (rows >= cfg.margin) & (rows < R - cfg.margin) & \
                 (cols >= cfg.margin) & (cols < C - cfg.margin)
     elig = (gmag >= cfg.gradient_threshold) & frame.mask & margin_ok
+
+    # suppress candidates near features already being tracked (the
+    # reference zeroes a nma_radius circle around each live feature center
+    # in the detection mask, photometric.cpp:524-530): scatter the current
+    # pixel of each valid feature, dilate by the suppression window
+    q_lw_s, t_lw_s = lie.se3_inverse(q_wl, t_wl)
+    cen_l = lie.se3_transform(q_lw_s, t_lw_s, feats.center_w)
+    fu, fv, _, ffov = project(cen_l, cfg)
+    f_ok = feats.valid & ffov
+    fui = jnp.clip(jnp.round(fu).astype(jnp.int32), 0, R - 1)
+    fvi = jnp.clip(jnp.round(fv).astype(jnp.int32), 0, C - 1)
+    occ = jnp.zeros(R * C + 1, jnp.float32).at[
+        jnp.where(f_ok, fui * C + fvi, R * C)].set(1.0)[:-1].reshape(R, C)
+    r_s = cfg.nma_radius
+    near_existing = jax.lax.reduce_window(
+        occ, jnp.float32(0.0), jax.lax.max,
+        (2 * r_s + 1, 2 * r_s + 1), (1, 1), "SAME") > 0.5
+    elig = elig & ~near_existing
     g_el = jnp.where(elig, gmag, 0.0)
 
     r = cfg.nma_radius
@@ -376,6 +450,20 @@ def detect_features(frame: Frame, feats: Features, q_wl, t_wl,
 
     pts_l = backproject(pu.astype(frame.intensity.dtype),
                         pv.astype(frame.intensity.dtype), rng, cfg)
+
+    # patch 3D validity (ref photometric.cpp:700-725): the patch must be a
+    # compact planar surface patch — every point within max_dist_from_mean
+    # of the centroid and within max_dist_from_plane of the patch plane
+    # (normal = smallest eigenvector of the patch covariance)
+    centered = pts_l - jnp.mean(pts_l, axis=1, keepdims=True)   # [F,P,3]
+    compact = (jnp.linalg.norm(centered, axis=-1)
+               <= cfg.max_dist_from_mean).all(-1)
+    cov = jnp.einsum("fpi,fpj->fij", centered, centered) / P
+    _, normal = eigh3.smallest_eigvec3(
+        cov + 1e-9 * jnp.eye(3, dtype=cov.dtype))
+    planar = (jnp.abs(jnp.einsum("fpi,fi->fp", centered, normal))
+              <= cfg.max_dist_from_plane).all(-1)
+    patch_ok = patch_ok & compact & planar
     pts_w = lie.se3_transform(q_wl, t_wl, pts_l.reshape(-1, 3)).reshape(
         -1, P, 3)
     center_w = pts_w[:, P // 2, :]
@@ -476,10 +564,18 @@ def linearize(frame: Frame, feats: Features, q_wl, t_wl,
         use = all_ok & ncc_ok
 
         err = jnp.linalg.norm(r)
-        w_huber = jnp.where(err <= cfg.huber_delta * cfg.sigma, 1.0,
-                            cfg.huber_delta * cfg.sigma /
-                            jnp.maximum(err, 1e-9))
-        w = jnp.where(use & (err <= cfg.max_error), w_huber, 0.0) / \
+        # robust weight on the whitened residual norm
+        # (ref photometric_factor.hpp:303-317: huber or gemanmcclure;
+        # weight below = sqrt_weight^2 since it scales J^T J directly)
+        we = err / cfg.sigma
+        c = cfg.huber_delta
+        if not cfg.use_robust:
+            w_rob = jnp.ones_like(err)
+        elif cfg.robust == "gemanmcclure":
+            w_rob = (c * c / (c * c + we * we)) ** 2
+        else:
+            w_rob = jnp.where(we <= c, 1.0, c / jnp.maximum(we, 1e-9))
+        w = jnp.where(use & (err <= cfg.max_error), w_rob, 0.0) / \
             (cfg.sigma ** 2)
         Hf = (J.T @ J) * w
         bf = (J.T @ r) * w

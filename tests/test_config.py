@@ -88,3 +88,41 @@ def test_load_all_reference_platforms():
         # every config declares valid lidar extrinsics (unit quaternion)
         q = cs.sequencer.q_b_l
         assert abs(sum(x * x for x in q) - 1.0) < 1e-6, name
+
+
+def test_enwide_new_keys():
+    """Keys wired in the config-parity sweep load with the reference's
+    exact names (degen_thresh_rot, use_robust_cost_function, FIR taps,
+    imu manager scaling)."""
+    cs = loader.load_reference_yaml(REF_ENWIDE)
+    # enwide: degen_thresh_trans 40, degen_thresh_rot 0
+    assert cs.geometric.loc_count_thresh == 40.0
+    assert cs.geometric.loc_count_thresh_rot == 0.0
+    assert cs.sequencer.imu_acc_scale == 1.0
+    assert cs.sequencer.imu_max_buffer_duration > 0
+    ph_cfg = loader.photometric_from_reference(cs.raw)
+    # enwide: use_robust_cost_function false, huber param 1.345
+    assert not ph_cfg.use_robust
+    assert ph_cfg.robust == "huber"
+    assert abs(ph_cfg.huber_delta - 1.345) < 1e-9
+    assert ph_cfg.gaussian_blur_size == 3
+    # the FIR taps come from the yaml, not the builtin defaults
+    assert len(ph_cfg.hp_fir) == 33 and len(ph_cfg.lp_fir) == 33
+    assert ph_cfg.grad_kernel == "central"
+
+
+def test_hornbill_odometry_keys():
+    """The reference's odometry keys are sigma_rot_deg / sigma_trans_m /
+    d_opt_thresh (src/odometry/manager.cpp:82-84)."""
+    cs = loader.load_reference_yaml(REF_HORNBILL)
+    assert abs(cs.odometry.sigma_rot - math.radians(0.5)) < 1e-12
+    assert abs(cs.odometry.sigma_trans - 0.001) < 1e-12
+    assert abs(cs.odometry.max_d_optimality - 1.0) < 1e-12
+
+
+def test_use_huber_toggle(tmp_path):
+    ov = tmp_path / "override.yaml"
+    ov.write_text(
+        "lidar:\n  geometric:\n    scan_to_map:\n      use_huber: false\n")
+    cs = loader.load_reference_yaml(REF_ENWIDE, override_path=str(ov))
+    assert cs.geometric.huber_delta > 1e20  # disabled = never clamps

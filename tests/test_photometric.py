@@ -158,3 +158,87 @@ def test_degeneracy_aware_detection():
         if np.min(np.linalg.norm(c_plain - c, axis=-1)) < 1e-6:
             same += 1
     assert same < n_deg  # not identical sets
+
+
+def test_patch_validity_gates():
+    """Detection patch 3D validity (ref photometric.cpp:700-725): an
+    impossible compactness bound rejects every candidate; the default
+    accepts plenty on planar walls."""
+    import dataclasses
+    pts, inten = textured_scene(11)
+    frame = ph.make_frame(pts, inten, jnp.ones(len(pts), bool), CFG)
+    q = lie.quat_identity(jnp.float32)
+    t = jnp.zeros(3, jnp.float32)
+    feats_ok = ph.detect_features(frame, ph.empty_features(CFG), q, t, CFG)
+    assert int(jnp.sum(feats_ok.valid)) > 10
+    tight = dataclasses.replace(CFG, max_dist_from_mean=1e-4)
+    feats_no = ph.detect_features(frame, ph.empty_features(tight), q, t,
+                                  tight)
+    assert int(jnp.sum(feats_no.valid)) == 0
+    # plane-distance gate alone also bites when impossible
+    flat = dataclasses.replace(CFG, max_dist_from_plane=1e-6)
+    feats_fl = ph.detect_features(frame, ph.empty_features(flat), q, t, flat)
+    assert int(jnp.sum(feats_fl.valid)) < int(jnp.sum(feats_ok.valid))
+
+
+def test_detection_avoids_tracked_features():
+    """Re-detection suppresses candidates within nma_radius of live
+    features (ref photometric.cpp:524-530 circle masking)."""
+    pts, inten = textured_scene(12)
+    frame = ph.make_frame(pts, inten, jnp.ones(len(pts), bool), CFG)
+    q = lie.quat_identity(jnp.float32)
+    t = jnp.zeros(3, jnp.float32)
+    feats = ph.detect_features(frame, ph.empty_features(CFG), q, t, CFG)
+    keep = np.zeros(CFG.num_features, bool)
+    keep[:8] = np.asarray(feats.valid)[:8]
+    feats = feats._replace(valid=jnp.asarray(keep),
+                           life=jnp.where(jnp.asarray(keep), feats.life, -1))
+    refilled = ph.detect_features(frame, feats, q, t, CFG)
+    old = np.asarray(feats.valid)
+    new = np.asarray(refilled.valid) & ~old
+    if not new.any():
+        return  # nothing refilled on this texture — nothing to check
+    u_all, v_all, _, _ = ph.project(refilled.center_w, CFG)
+    u_all, v_all = np.asarray(u_all), np.asarray(v_all)
+    for i in np.where(new)[0]:
+        for j in np.where(old)[0]:
+            cheb = max(abs(u_all[i] - u_all[j]), abs(v_all[i] - v_all[j]))
+            assert cheb > CFG.nma_radius - 1.5, (i, j, cheb)
+
+
+def test_gemanmcclure_downweights_outliers():
+    """GM weight (ref photometric_factor.hpp:309-315) suppresses large
+    residuals harder than no-robust."""
+    import dataclasses
+    pts, inten = textured_scene(13)
+    frame = ph.make_frame(pts, inten, jnp.ones(len(pts), bool), CFG)
+    q = lie.quat_identity(jnp.float32)
+    t = jnp.zeros(3, jnp.float32)
+    feats = ph.detect_features(frame, ph.empty_features(CFG), q, t, CFG)
+    # perturb the pose so residuals are nonzero but still tracked
+    dq = lie.exp_so3(jnp.asarray([0.0, 0.0, 0.004], jnp.float32))
+    q2 = lie.quat_mul(q, dq)
+    cfg_none = dataclasses.replace(CFG, use_robust=False)
+    cfg_gm = dataclasses.replace(CFG, robust="gemanmcclure",
+                                 huber_delta=0.2)
+    r_none = ph.linearize(frame, feats, q2, t, cfg_none)
+    r_gm = ph.linearize(frame, feats, q2, t, cfg_gm)
+    assert int(r_gm.num_tracked) > 0
+    assert float(jnp.trace(r_gm.H)) < float(jnp.trace(r_none.H))
+
+
+def test_static_mask_blocks_regions():
+    """Static mask zeros (ref createMask) exclude pixels from the frame
+    mask and therefore from detection."""
+    pts, inten = textured_scene(14)
+    smask = np.ones((CFG.rows, CFG.cols), bool)
+    smask[:, : CFG.cols // 2] = False
+    frame = ph.make_frame(pts, inten, jnp.ones(len(pts), bool), CFG,
+                          static_mask=jnp.asarray(smask))
+    assert not bool(frame.mask[:, : CFG.cols // 2].any())
+    q = lie.quat_identity(jnp.float32)
+    t = jnp.zeros(3, jnp.float32)
+    feats = ph.detect_features(frame, ph.empty_features(CFG), q, t, CFG)
+    u, v, _, _ = ph.project(feats.center_w, CFG)
+    v = np.asarray(v)[np.asarray(feats.valid)]
+    assert (v >= CFG.cols // 2 - 1).all()
