@@ -184,6 +184,15 @@ def photometric_from_reference(raw: dict, ouster_meta=None):
     if ouster_meta:
         kw.update(rows=ouster_meta["rows"], cols=ouster_meta["cols"],
                   beam_altitudes=ouster_meta["beam_altitudes"])
+    else:
+        # without sensor metadata the image model comes from explicit keys
+        # (extension for non-Ouster / synthetic platforms; the reference
+        # always derives these from the metadata JSON)
+        if g("rows"):
+            kw.update(rows=int(g("rows")), cols=int(g("cols", 1024)))
+        if g("fov_up_deg") is not None:
+            kw.update(fov_up=math.radians(float(g("fov_up_deg"))),
+                      fov_down=math.radians(float(g("fov_down_deg", -45.0))))
     return PhotometricConfig(**kw)
 
 

@@ -411,20 +411,35 @@ def marginalize_oldest(w: Window, preints: pre.PreintState,
         b = b.at[ii].add(wgt * rr)
         b = b.at[jj].add(-wgt * rr)
 
-    # Schur complement out dims [0, 15)
-    Hkk = H[:SD, :SD] + jnp.eye(SD, dtype=dtype) * 1e-9
-    Hkr = H[:SD, SD:]
-    Hrr = H[SD:, SD:]
-    bk = b[:SD]
-    br = b[SD:]
-    # equilibrated solve: Hkk mixes prior info ~1e7 with ~1e-1 velocity
-    # info; scaling keeps the f32 factorization accurate (see solve())
-    dk = jnp.sqrt(jnp.maximum(jnp.diagonal(Hkk), 1e-12))
+    # Schur complement out dims [0, 15), computed in the EQUILIBRATED basis
+    # end-to-end. The system mixes information scales 1e6..1e-1; in raw
+    # scale the f32 rounding of the large blocks lands in the small blocks
+    # (bias, gravity) as an O(1) RELATIVE error — measured: a loose accel
+    # bias prior (initial_bias_acc_sigma 1.0, the reference's own ENWIDE
+    # value) collected ~0.5-absolute errors from the ~5e6-scale pose rows,
+    # flipped the marginal prior indefinite (min eig -0.3) and ran the
+    # bias estimate to 6.7 m/s^2 by scan 16 of a corridor replay. Scaling
+    # H by D^-1/2 on BOTH sides first makes every entry O(1), so f32
+    # rounding stays relative per-entry; unscaling restores the blocks with
+    # their own scale. (f64 reproduces the same replay at ATE 0.44 m; this
+    # f32 path must match it.)
+    dall = jnp.sqrt(jnp.maximum(jnp.diagonal(H), 1e-12))
+    Hs = H / dall[:, None] / dall[None, :]
+    bs = b / dall
+    Hkk = Hs[:SD, :SD] + jnp.eye(SD, dtype=dtype) * 1e-7
+    Hkr = Hs[:SD, SD:]
+    Hrr = Hs[SD:, SD:]
+    bk = bs[:SD]
+    br = bs[SD:]
     rhs_all = jnp.concatenate([Hkr, bk[:, None]], axis=1)
-    sol = jnp.linalg.solve(Hkk / dk[:, None] / dk[None, :],
-                           rhs_all / dk[:, None]) / dk[:, None]
-    Hred = Hrr - Hkr.T @ sol[:, :-1]
-    bred = br - Hkr.T @ sol[:, -1]
+    sol = jnp.linalg.solve(Hkk, rhs_all)
+    # one step of iterative refinement: squares the effective residual of
+    # the f32 solve when correlations leave Hkk ill-conditioned even after
+    # equilibration (costs one extra [SD,SD] solve per scan)
+    sol = sol + jnp.linalg.solve(Hkk, rhs_all - Hkk @ sol)
+    dr = dall[SD:]
+    Hred = (Hrr - Hkr.T @ sol[:, :-1]) * dr[:, None] * dr[None, :]
+    bred = (br - Hkr.T @ sol[:, -1]) * dr
 
     # embed reduced system back: old slots 1..K-1 -> new 0..K-2, g stays
     Hp = jnp.zeros((D, D), dtype)

@@ -77,7 +77,7 @@ def replay_bag(bag_path, config_path, imu_topic, lidar_topic,
                radar_topic=None, odom_topic=None, override_path=None,
                start_offset=0.0, duration=None, max_scan_points=None,
                verbose=True, platform=None, step_control=None,
-               **seq_overrides):
+               ouster_metadata=None, **seq_overrides):
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
@@ -95,9 +95,19 @@ def replay_bag(bag_path, config_path, imu_topic, lidar_topic,
         seq_overrides["max_scan_points"] = max_scan_points
     cs = loader.load_reference_yaml(config_path, override_path,
                                     **seq_overrides)
+    # the full PG-LIO pipeline when the config enables photometric (the
+    # reference's ENWIDE/Newer College default); the Ouster metadata JSON
+    # supplies the beam table (reference loads it into lidar/sensor)
+    photo_cfg = None
+    if bool(cs.raw.get("lidar", {}).get("photometric", {})
+            .get("enabled", False)):
+        meta_path = ouster_metadata or cs.raw.get("lidar", {}).get(
+            "sensor_metadata_path")
+        meta = loader.load_ouster_metadata(meta_path) if meta_path else None
+        photo_cfg = loader.photometric_from_reference(cs.raw, meta)
     s = seq.Sequencer(seq_cfg=cs.sequencer, win_cfg=cs.window,
                       map_cfg=cs.voxel_map, geo_cfg=cs.geometric,
-                      dtype=jnp.float32)
+                      photo_cfg=photo_cfg, dtype=jnp.float32)
     s.radar_cfg = cs.radar
     s.odom_cfg = cs.odometry
 
@@ -238,6 +248,9 @@ def main():
     ap.add_argument("--radar-topic")
     ap.add_argument("--odom-topic")
     ap.add_argument("--config-override")
+    ap.add_argument("--ouster-metadata",
+                    help="Ouster sensor metadata JSON (beam table) for the "
+                         "photometric pipeline")
     ap.add_argument("--gt", help="ground truth TUM/csv for ATE")
     ap.add_argument("--out", default="/tmp/mimosa_tpu_traj.tum")
     ap.add_argument("-s", "--start-offset", type=float, default=0.0)
@@ -264,7 +277,8 @@ def main():
                        args.config_override, args.start_offset,
                        args.duration, platform=args.platform,
                        step_control=StepControl() if args.interactive
-                       else None)
+                       else None,
+                       ouster_metadata=args.ouster_metadata)
     s.write_tum(args.out)
     print(f"trajectory -> {args.out} ({len(s.trajectory)} poses)")
     if args.gt:

@@ -76,6 +76,41 @@ def serialize_ouster_cloud(t, points, intensity, t_rel_s, ring=None):
     return b
 
 
+def serialize_radar_rio(t, points_r, doppler, snr_db=None, noise_db=None):
+    """Radar cloud in the rio point layout (x,y,z,snr_db,noise_db,
+    v_doppler_mps — ref include/mimosa/radar/point.hpp:16-27). Takes points
+    in the remapped radar frame the estimator consumes and writes the raw
+    sensor axes (decode applies x,y,z <- y,-x,z, so we store the inverse)."""
+    points_r = np.asarray(points_r, np.float32)
+    n = len(points_r)
+    doppler = np.asarray(doppler, np.float32)
+    snr_db = (np.full(n, 20.0, np.float32) if snr_db is None
+              else np.asarray(snr_db, np.float32))
+    noise_db = (np.zeros(n, np.float32) if noise_db is None
+                else np.asarray(noise_db, np.float32))
+    raw = np.empty((n, 6), np.float32)
+    raw[:, 0] = -points_r[:, 1]
+    raw[:, 1] = points_r[:, 0]
+    raw[:, 2] = points_r[:, 2]
+    raw[:, 3] = snr_db
+    raw[:, 4] = noise_db
+    raw[:, 5] = doppler
+    names = ["x", "y", "z", "snr_db", "noise_db", "v_doppler_mps"]
+    b = _header(t, "radar")
+    b += struct.pack("<II", 1, n)
+    b += struct.pack("<I", len(names))
+    for off, nm in zip(range(0, 24, 4), names):
+        nb = nm.encode()
+        b += struct.pack("<I", len(nb)) + nb
+        b += struct.pack("<IBI", off, 7, 1)         # FLOAT32
+    b += struct.pack("<B", 0)
+    b += struct.pack("<II", 24, 24 * n)
+    data = raw.tobytes()
+    b += struct.pack("<I", len(data)) + data
+    b += struct.pack("<B", 1)
+    return b
+
+
 def serialize_odometry(t, q_wxyz, p, cov6=None):
     b = _header(t, "odom")
     b += struct.pack("<I", 4) + b"base"
@@ -142,13 +177,18 @@ class BagWriter:
         self.f.close()
 
 
-def write_synthetic_bag(path, data, imu_topic="/imu", lidar_topic="/points"):
-    """Record a synthetic dataset (io/synthetic.generate output) as a bag."""
+def write_synthetic_bag(path, data, imu_topic="/imu", lidar_topic="/points",
+                        radar_frames=None, radar_topic="/radar"):
+    """Record a synthetic dataset (io/synthetic.generate output) as a bag.
+    ``radar_frames``: optional io/synthetic.generate_radar output, written
+    in the rio point layout."""
     w = BagWriter(path)
     events = [(t, "imu", k) for k, t in enumerate(data["imu"]["ts"])]
     for k, sc in enumerate(data["scans"]):
         # bag receipt time after the scan completes (sensor driver behavior)
         events.append((sc["ts_header"] + sc["t_rel"].max() + 0.01, "scan", k))
+    for k, fr in enumerate(radar_frames or []):
+        events.append((fr["ts"] + 0.005, "radar", k))
     events.sort(key=lambda e: e[0])
     imu = data["imu"]
     for t_rx, kind, k in events:
@@ -156,6 +196,11 @@ def write_synthetic_bag(path, data, imu_topic="/imu", lidar_topic="/points"):
             w.write(imu_topic, "sensor_msgs/Imu", imu["ts"][k],
                     serialize_imu(imu["ts"][k], imu["acc"][k],
                                   imu["gyro"][k]))
+        elif kind == "radar":
+            fr = radar_frames[k]
+            w.write(radar_topic, "sensor_msgs/PointCloud2", t_rx,
+                    serialize_radar_rio(fr["ts"], fr["points"],
+                                        fr["doppler"], fr.get("snr_db")))
         else:
             sc = data["scans"][k]
             pts = np.where(sc["valid"][:, None], sc["points"], np.nan)

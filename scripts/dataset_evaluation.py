@@ -57,6 +57,7 @@ def main():
     ap.add_argument("--radar-topic")
     ap.add_argument("--odom-topic")
     ap.add_argument("--config-override")
+    ap.add_argument("--ouster-metadata")
     ap.add_argument("--sequences", nargs="*")
     ap.add_argument("--out", default="/tmp/mimosa_tpu_eval")
     ap.add_argument("--platform")
@@ -81,7 +82,8 @@ def main():
         gt = find_gt(seq_dir)
         s = replay_bag(bags[0], args.config, args.imu_topic,
                        args.lidar_topic, args.radar_topic, args.odom_topic,
-                       args.config_override, platform=args.platform)
+                       args.config_override, platform=args.platform,
+                       ouster_metadata=args.ouster_metadata)
         tum_path = os.path.join(args.out, f"{seq}.tum")
         s.write_tum(tum_path)
         row = dict(sequence=seq, poses=len(s.trajectory))

@@ -44,26 +44,29 @@ def simulate(T=2.0, imu_rate=200, state_rate=10, seed=0):
 
 
 def run_fusion(states, segs, dt, meas_noise=0.0, seed=1,
-               wrong_gravity=False):
+               wrong_gravity=False, dtype=jnp.float64, cfg=None):
+    CFG = cfg or globals()["CFG"]
     rng = np.random.default_rng(seed)
     K = CFG.K
-    w = win.create(CFG, dtype=jnp.float64)
+    w = win.create(CFG, dtype=dtype)
     q0, p0, v0 = states[0]
+    arr = lambda x: jnp.asarray(x, dtype)
     if wrong_gravity:
-        w = w._replace(g_dir=lie.s2_retract(w.g_dir, jnp.asarray([0.03, -0.02])),
-                       lin_g=lie.s2_retract(w.g_dir, jnp.asarray([0.03, -0.02])))
-    w = win.append_state(w, jnp.asarray(q0), jnp.asarray(p0), jnp.asarray(v0),
-                         jnp.zeros(3), jnp.zeros(3), 0.0)
+        w = w._replace(g_dir=lie.s2_retract(w.g_dir, arr([0.03, -0.02])),
+                       lin_g=lie.s2_retract(w.g_dir, arr([0.03, -0.02])))
+    w = win.append_state(w, arr(q0), arr(p0), arr(v0),
+                         jnp.zeros(3, dtype), jnp.zeros(3, dtype), 0.0)
     w = win.init_priors(w, CFG)
 
-    preint_chain = [pre.init_preint(jnp.zeros(3), jnp.zeros(3),
-                                    jnp.float64) for _ in range(K - 1)]
+    preint_chain = [pre.init_preint(jnp.zeros(3, dtype), jnp.zeros(3, dtype),
+                                    dtype) for _ in range(K - 1)]
     n_active = 1
     results = []
     for s, (accs, gyrs) in enumerate(segs):
-        st = pre.preintegrate(jnp.asarray(accs), jnp.asarray(gyrs),
-                              jnp.full(len(accs), dt), jnp.zeros(3),
-                              jnp.zeros(3), 1e-4, 1e-5)
+        st = pre.preintegrate(arr(accs), arr(gyrs),
+                              jnp.full(len(accs), dt, dtype),
+                              jnp.zeros(3, dtype),
+                              jnp.zeros(3, dtype), 1e-4, 1e-5)
         # slide if full
         if n_active == K:
             w = win.marginalize_oldest(w, stack_preints(preint_chain), CFG)
@@ -81,8 +84,8 @@ def run_fusion(states, segs, dt, meas_noise=0.0, seed=1,
 
         # pose measurement of the new state (like an ICP result)
         q_gt, p_gt, _ = states[s + 1]
-        q_m = jnp.asarray(q_gt)
-        p_m = jnp.asarray(p_gt) + rng.normal(size=3) * meas_noise
+        q_m = arr(q_gt)
+        p_m = arr(p_gt + rng.normal(size=3) * meas_noise)
         slot = n_active - 1
         wgt = 1.0 / max(meas_noise, 1e-3) ** 2
 
@@ -90,7 +93,7 @@ def run_fusion(states, segs, dt, meas_noise=0.0, seed=1,
         preints = stack_preints(preint_chain)
         for _ in range(3):
             r0 = lie.se3_local(q_m, p_m, w.q[slot], w.p[slot])
-            H6 = jnp.eye(6) * wgt
+            H6 = jnp.eye(6, dtype=dtype) * wgt
             b6 = wgt * r0
             H, rhs = win.build_system(w, preints, fv, CFG,
                                       meas=[(win.pose_idx(slot), H6, b6)])
@@ -100,7 +103,8 @@ def run_fusion(states, segs, dt, meas_noise=0.0, seed=1,
         w = win.rebase_prior(w, CFG)
         r0 = lie.se3_local(q_m, p_m, w.q[slot], w.p[slot])
         w = win.add_measurement_block(w, win.pose_idx(slot),
-                                      jnp.eye(6) * wgt, wgt * r0, CFG)
+                                      jnp.eye(6, dtype=dtype) * wgt,
+                                      wgt * r0, CFG)
         results.append((np.asarray(w.q[slot]), np.asarray(w.p[slot]),
                         np.asarray(w.v[slot])))
     return w, results
@@ -175,6 +179,44 @@ def test_solve_ill_conditioned_f32():
     assert np.all(np.isfinite(dx32))
     denom = np.linalg.norm(dx64)
     assert np.linalg.norm(dx32 - dx64) / denom < 1e-2
+
+
+def test_marginalize_loose_bias_prior_f32():
+    """Regression: with the reference's own ENWIDE sigmas (tight rotation
+    prior 0.01 deg -> info ~3e7, LOOSE accel bias prior sigma 1.0 -> info 1)
+    the raw-scale f32 Schur complement in marginalize_oldest leaked O(1)
+    absolute rounding error from the huge pose rows into the tiny bias
+    block, flipping the marginal prior indefinite and running the bias
+    estimate away (6.7 m/s^2 by scan 16 on a corridor replay; f64 was
+    clean). The equilibrated-basis Schur + iterative refinement must keep
+    f32 marginalization consistent with f64: biases bounded, marginal
+    prior PSD, trajectory matching the f64 run. (Measured residual f32-f64
+    gap: a bounded ~3 cm transient at scan ~5 while the loose bias prior
+    leaves the early window barely determined, decaying to ~3 mm; both
+    runs' errors vs ground truth are statistically identical. The bug gave
+    METERS and did not decay — gate on bounded + decaying.)"""
+    cfg = win.WindowConfig(
+        K=5, damping=1e-9,
+        init_sigma_rot=float(np.radians(0.01)), init_sigma_pos=1e-3,
+        init_sigma_vel=1e-3, init_sigma_bg=0.035, init_sigma_ba=1.0)
+    states, segs, dt = simulate(T=4.0)
+    w32, res32 = run_fusion(states, segs, dt, meas_noise=0.01,
+                            dtype=jnp.float32, cfg=cfg)
+    w64, res64 = run_fusion(states, segs, dt, meas_noise=0.01,
+                            dtype=jnp.float64, cfg=cfg)
+    # biases must stay physically sane (the bug ran |ba| to >5 m/s^2)
+    assert np.max(np.abs(np.asarray(w32.ba))) < 0.5, np.asarray(w32.ba)
+    # marginal prior must stay (near-)PSD: strongly negative eigenvalues
+    # act as anti-measurements and destabilize every later solve
+    Hp = np.asarray(w32.H_prior, np.float64)
+    eigs = np.linalg.eigvalsh((Hp + Hp.T) / 2)
+    assert eigs.min() > -1e-3 * max(eigs.max(), 1.0), eigs.min()
+    # f32 trajectory must match f64 (same data, same config): bounded
+    # everywhere, converged (not drifting) in steady state
+    gaps = [np.linalg.norm(p32 - p64)
+            for (_, p32, _), (_, p64, _) in zip(res32, res64)]
+    assert np.max(gaps) < 0.05, np.max(gaps)
+    assert np.max(gaps[len(gaps) // 2:]) < 0.01, gaps[len(gaps) // 2:]
 
 
 def test_solve_singular_degrades_to_zero():
