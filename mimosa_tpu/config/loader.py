@@ -177,6 +177,12 @@ def photometric_from_reference(raw: dict, ouster_meta=None):
         huber_delta=float(g("robust_cost_function_parameter", 1.345)),
         max_error=float(g("max_error", 0.5075)),
         static_mask_path=str(g("static_mask_path", "")),
+        # edgelet machinery (ref photometric_config.cpp:53-55): explicit
+        # sampling pattern as (x=col, y=row) pairs + per-feature rotation
+        # of the pattern onto the local edge normal/tangent frame
+        patch_offsets=tuple(tuple(int(v) for v in p)
+                            for p in (g("edgelet_patch_offsets") or ())),
+        rotate_patch=bool(g("rotate_patch_to_align_with_gradient", False)),
     )
     if kw["robust"] not in ("huber", "gemanmcclure"):
         raise ConfigError("robust_cost_function must be huber or "

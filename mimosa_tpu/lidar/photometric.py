@@ -36,6 +36,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from mimosa_tpu.core import eigh3, lie
 
@@ -98,6 +99,15 @@ class PhotometricConfig:
     # .npy bool/uint8 array or grayscale image loadable by PIL
     static_mask_path: str = ""
     project_on_degeneracy: bool = True  # unary VSV^T selection
+    # patch sampling pattern (ref photometric_config.hpp:62-67
+    # edgelet_patch_offsets): (x=col, y=row) offsets added to the
+    # candidate pixel; empty = the full patch_size x patch_size square
+    # (the reference's default). rotate_patch = the reference's
+    # rotate_patch_to_align_with_gradient: per-candidate rotation of the
+    # pattern so its axes align with the local edge normal/tangent
+    # (photometric.cpp:660-682, getGradientBasedLocations)
+    patch_offsets: tuple = ()
+    rotate_patch: bool = False
 
 
 # default FIRs from the reference config (enwide params.yaml high/low pass)
@@ -311,9 +321,56 @@ class Features(NamedTuple):
     valid: jnp.ndarray    # [F] bool
 
 
+def patch_layout(cfg: PhotometricConfig):
+    """Static patch sampling pattern as (dr[P], dc[P], center_idx).
+
+    From ``cfg.patch_offsets`` ((x=col, y=row) pairs, the reference's
+    edgelet_patch_offsets convention — photometric.cpp:689-691 adds
+    offset.first to the column and offset.second to the row) or the full
+    patch_size square. center_idx = the sample closest to (0,0) (the
+    candidate pixel itself for every sane pattern)."""
+    if cfg.patch_offsets:
+        off = np.asarray(cfg.patch_offsets, np.int32)
+        dc, dr = off[:, 0], off[:, 1]
+    else:
+        half = cfg.patch_size // 2
+        rr, cc = np.meshgrid(np.arange(-half, half + 1),
+                             np.arange(-half, half + 1), indexing="ij")
+        dr, dc = rr.reshape(-1), cc.reshape(-1)
+    ci = int(np.argmin(dr.astype(np.int64) ** 2 + dc.astype(np.int64) ** 2))
+    return dr.astype(np.int32), dc.astype(np.int32), ci
+
+
+def n_patch_points(cfg: PhotometricConfig) -> int:
+    return (len(cfg.patch_offsets) if cfg.patch_offsets
+            else cfg.patch_size ** 2)
+
+
+def rotate_offsets(gx, gy, dr, dc):
+    """Rotate integer patch offsets so the pattern axes align with the
+    local edge normal/tangent (ref photometric_utils.cpp:485-518
+    getGradientBasedLocations): T = [normal tangent] with
+    normal = (-g_y, g_x)/|g|, tangent = (g_x, g_y)/|g| in (x=col, y=row)
+    coords. Returns CONTINUOUS (r_row, r_col) offsets; the caller rounds.
+    The reference snaps with sequential collision resolution (snapPoint);
+    rounding may duplicate a pixel within a patch — an accepted deviation
+    (the psi embedding is invariant to consistent sample layouts, and the
+    same rounded layout is stored with the feature).
+
+    gx/gy: [...] gradient components along columns/rows; dr/dc: [P]."""
+    n = jnp.sqrt(gx * gx + gy * gy) + 1e-6
+    nx, ny = -gy / n, gx / n
+    tx, ty = gx / n, gy / n
+    x = dc.astype(nx.dtype)
+    y = dr.astype(nx.dtype)
+    r_c = nx[..., None] * x + tx[..., None] * y
+    r_r = ny[..., None] * x + ty[..., None] * y
+    return r_r, r_c
+
+
 def empty_features(cfg: PhotometricConfig, dtype=jnp.float32) -> Features:
     F = cfg.num_features
-    P = cfg.patch_size ** 2
+    P = n_patch_points(cfg)
     return Features(
         pts_w=jnp.zeros((F, P, 3), dtype), psi=jnp.zeros((F, P), dtype),
         center_w=jnp.zeros((F, 3), dtype),
@@ -362,8 +419,8 @@ def detect_features(frame: Frame, feats: Features, q_wl, t_wl,
     New features fill empty slots only.
     """
     R, C = frame.intensity.shape
-    P = cfg.patch_size ** 2
-    half = cfg.patch_size // 2
+    dr_off, dc_off, ci = patch_layout(cfg)
+    P = len(dr_off)
     # Non-max suppression AMONG ELIGIBLE candidates only (the reference
     # sorts candidates then suppresses by radius, photometric.cpp:516-745).
     # Running the local-max on the raw gradient silently killed detection:
@@ -434,12 +491,36 @@ def detect_features(frame: Frame, feats: Features, q_wl, t_wl,
     cv = flat_idx % C
     good = flat_score > 0
 
-    # patch offsets
-    du = jnp.arange(-half, half + 1)
-    dv = jnp.arange(-half, half + 1)
-    DU, DV = jnp.meshgrid(du, dv, indexing="ij")
-    pu = cu[:, None] + DU.reshape(-1)[None, :]        # [F?, P]
-    pv = cv[:, None] + DV.reshape(-1)[None, :]
+    # patch offsets (per-candidate rotated when the reference's
+    # rotate_patch_to_align_with_gradient is on, photometric.cpp:660-682)
+    dr_j = jnp.asarray(dr_off)
+    dc_j = jnp.asarray(dc_off)
+    if cfg.rotate_patch:
+        # structure tensor over a patch_size window at each candidate
+        # (the reference runs cv::cornerEigenValsAndVecs blockSize=5 on a
+        # (patch_size+2)^2 roi and reads the center, photometric.cpp:664-680)
+        win = (cfg.patch_size, cfg.patch_size)
+        zero = jnp.asarray(0, frame.gx.dtype)
+        box = lambda im: jax.lax.reduce_window(          # noqa: E731
+            im, zero, jax.lax.add, win, (1, 1), "SAME")
+        sxx = box(frame.gx * frame.gx)[cu, cv]
+        syy = box(frame.gy * frame.gy)[cu, cv]
+        sxy = box(frame.gx * frame.gy)[cu, cv]
+        # dominant eigenvector of the 2x2 tensor, closed form; of the two
+        # algebraic expressions pick the better-conditioned one per element
+        lam = 0.5 * (sxx + syy) + jnp.sqrt(
+            0.25 * (sxx - syy) ** 2 + sxy * sxy)
+        e1 = jnp.stack([sxy, lam - sxx], -1)
+        e2 = jnp.stack([lam - syy, sxy], -1)
+        pick = (jnp.linalg.norm(e1, axis=-1)
+                >= jnp.linalg.norm(e2, axis=-1))[..., None]
+        ev = jnp.where(pick, e1, e2)
+        r_r, r_c = rotate_offsets(ev[..., 0], ev[..., 1], dr_j, dc_j)
+        pu = jnp.round(cu[:, None] + r_r).astype(jnp.int32)   # [F?, P]
+        pv = jnp.round(cv[:, None] + r_c).astype(jnp.int32)
+    else:
+        pu = cu[:, None] + dr_j[None, :]                      # [F?, P]
+        pv = cv[:, None] + dc_j[None, :]
     pu = jnp.clip(pu, 0, R - 1)
     pv = jnp.mod(pv, C)
 
@@ -466,7 +547,7 @@ def detect_features(frame: Frame, feats: Features, q_wl, t_wl,
     patch_ok = patch_ok & compact & planar
     pts_w = lie.se3_transform(q_wl, t_wl, pts_l.reshape(-1, 3)).reshape(
         -1, P, 3)
-    center_w = pts_w[:, P // 2, :]
+    center_w = pts_w[:, ci, :]
 
     # fill empty slots with the best new candidates (order-preserving)
     empty = ~feats.valid

@@ -1,3 +1,5 @@
+import dataclasses
+
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -242,3 +244,66 @@ def test_static_mask_blocks_regions():
     u, v, _, _ = ph.project(feats.center_w, CFG)
     v = np.asarray(v)[np.asarray(feats.valid)]
     assert (v >= CFG.cols // 2 - 1).all()
+
+
+def test_patch_layout_and_rotation():
+    """Edgelet machinery (ref photometric_config.hpp:62-67,
+    photometric_utils.cpp:485-518): explicit (x=col, y=row) offsets map to
+    (dr, dc); rotate_offsets applies T = [normal tangent] in image coords."""
+    # explicit pattern: a plus shape, pairs are (x=col, y=row)
+    cfg = dataclasses.replace(
+        CFG, patch_offsets=((0, 0), (1, 0), (-1, 0), (0, 1), (0, -1)))
+    dr, dc, ci = ph.patch_layout(cfg)
+    assert ph.n_patch_points(cfg) == 5
+    np.testing.assert_array_equal(dr, [0, 0, 0, 1, -1])
+    np.testing.assert_array_equal(dc, [0, 1, -1, 0, 0])
+    assert ci == 0
+    # default layout: the full square, center sample at the middle
+    dr5, dc5, ci5 = ph.patch_layout(CFG)
+    assert len(dr5) == 25 and dr5[ci5] == 0 and dc5[ci5] == 0
+
+    # gradient purely along columns (vertical edge): normal=(0,1),
+    # tangent=(1,0) in (x,y) -> r_x = y, r_y = x (pattern transposed)
+    dr_j = jnp.asarray(dr)
+    dc_j = jnp.asarray(dc)
+    r_r, r_c = ph.rotate_offsets(jnp.asarray(1.0), jnp.asarray(0.0),
+                                 dr_j, dc_j)
+    np.testing.assert_allclose(np.asarray(r_c), dr, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(r_r), dc, atol=1e-5)
+    # gradient along rows: normal=(-1,0), tangent=(0,1) -> r_x=-x, r_y=y
+    r_r, r_c = ph.rotate_offsets(jnp.asarray(0.0), jnp.asarray(1.0),
+                                 dr_j, dc_j)
+    np.testing.assert_allclose(np.asarray(r_c), -np.asarray(dc), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(r_r), dr, atol=1e-5)
+    # any gradient: a rotation preserves pairwise distances
+    r_r, r_c = ph.rotate_offsets(jnp.asarray(0.6), jnp.asarray(-1.3),
+                                 dr_j, dc_j)
+    d0 = np.hypot(dr[:, None] - dr[None], dc[:, None] - dc[None])
+    d1 = np.hypot(np.asarray(r_r)[:, None] - np.asarray(r_r)[None],
+                  np.asarray(r_c)[:, None] - np.asarray(r_c)[None])
+    np.testing.assert_allclose(d1, d0, atol=1e-4)
+
+
+def test_detect_with_rotated_patches():
+    """rotate_patch_to_align_with_gradient end-to-end: detection fills the
+    store and the factor still tracks and pulls a perturbed pose back."""
+    cfg = dataclasses.replace(CFG, rotate_patch=True)
+    pts, inten = textured_scene(15)
+    frame = ph.make_frame(pts, inten, jnp.ones(len(pts), bool), cfg)
+    q = lie.quat_identity(jnp.float32)
+    t = jnp.zeros(3, jnp.float32)
+    feats = ph.detect_features(frame, ph.empty_features(cfg), q, t, cfg)
+    n = int(jnp.sum(feats.valid))
+    assert n > 10, n
+    res = ph.linearize(frame, feats, q, t, cfg)
+    assert int(res.num_tracked) > 0.7 * n
+    # perturbed pose: GN must reduce the error
+    q2 = lie.quat_mul(q, lie.exp_so3(jnp.asarray([0.0, 0.0, 0.008],
+                                                 jnp.float32)))
+    t2 = t + jnp.asarray([0.02, -0.015, 0.01], jnp.float32)
+    err0 = float(jnp.linalg.norm(t2 - t))
+    for _ in range(8):
+        r = ph.linearize(frame, feats, q2, t2, cfg)
+        dx = -jnp.linalg.solve(r.H + jnp.eye(6) * 1e-2, r.b)
+        q2, t2 = lie.se3_retract(q2, t2, dx)
+    assert float(jnp.linalg.norm(t2 - t)) < 0.5 * err0
