@@ -177,36 +177,43 @@ def add_measurement_block(w: Window, idx, Hm, bm, cfg: WindowConfig) -> Window:
 # IMU chain factors
 # ---------------------------------------------------------------------------
 
+def imu_block(pre_i, q_i, p_i, v_i, bg_i, ba_i, q_j, p_j, v_j, g_dir,
+              g_mag):
+    """Whitened Jacobian/residual of ONE gravity-augmented IMU factor
+    (the TPU equivalent of the fork's ImuFactorWithGravity::linearize,
+    SURVEY §2.4 item 2). Returns (J_w [9,26], r_w [9]); the 26 columns are
+    [xi_i(9) | xi_j(9) | xi_bias_i(6) | xi_g(2)], whitened by the
+    preintegration covariance. Shared by the window assembly and the
+    sharded batch adjustment (parallel/window_shard.py) so both linearize
+    identically."""
+    f = pre.make_residual_fn(g_mag)
+    dtype = p_i.dtype
+    z9 = jnp.zeros(9, dtype)
+    z6 = jnp.zeros(6, dtype)
+    z2 = jnp.zeros(2, dtype)
+    lin = (q_i, p_i, v_i, q_j, p_j, v_j, bg_i, ba_i, g_dir)
+    r = f(z9, z9, z6, z2, pre_i, lin)
+    Ji, Jj, Jb, Jg = jax.jacfwd(f, argnums=(0, 1, 2, 3))(
+        z9, z9, z6, z2, pre_i, lin)
+    J = jnp.concatenate([Ji, Jj, Jb, Jg], axis=-1)  # [9,26]
+    # whiten with the preintegration covariance
+    cov = pre_i.cov + jnp.eye(9, dtype=r.dtype) * 1e-10
+    L = jnp.linalg.cholesky(cov)
+    r_w = jax.scipy.linalg.solve_triangular(L, r, lower=True)
+    J_w = jax.scipy.linalg.solve_triangular(L, J, lower=True)
+    return J_w, r_w
+
+
 def _imu_factor_blocks(w: Window, preints: pre.PreintState, cfg: WindowConfig):
     """Linearize all K-1 consecutive IMU factors at current values.
 
     preints: PreintState stacked with leading dim K-1 (segment i -> i+1).
-    Returns (J [K-1, 9, 26], r [K-1, 9], info_ok [K-1] bool) where the 26
-    columns are [xi_i(9) | xi_j(9) | xi_bias_i(6) | xi_g(2)], whitened by
-    the preintegration covariance.
+    Returns (J [K-1, 9, 26], r [K-1, 9]) — see ``imu_block``.
     """
-    f = pre.make_residual_fn(cfg.g_mag)
-    z9 = jnp.zeros(9, w.p.dtype)
-    z6 = jnp.zeros(6, w.p.dtype)
-    z2 = jnp.zeros(2, w.p.dtype)
-
-    def one(pre_i, q_i, p_i, v_i, bg_i, ba_i, q_j, p_j, v_j):
-        lin = (q_i, p_i, v_i, q_j, p_j, v_j, bg_i, ba_i, w.g_dir)
-        r = f(z9, z9, z6, z2, pre_i, lin)
-        Ji, Jj, Jb, Jg = jax.jacfwd(f, argnums=(0, 1, 2, 3))(
-            z9, z9, z6, z2, pre_i, lin)
-        J = jnp.concatenate([Ji, Jj, Jb, Jg], axis=-1)  # [9,26]
-        # whiten with the preintegration covariance
-        cov = pre_i.cov + jnp.eye(9, dtype=r.dtype) * 1e-10
-        L = jnp.linalg.cholesky(cov)
-        r_w = jax.scipy.linalg.solve_triangular(L, r, lower=True)
-        J_w = jax.scipy.linalg.solve_triangular(L, J, lower=True)
-        return J_w, r_w
-
-    J, r = jax.vmap(one)(
+    J, r = jax.vmap(imu_block, in_axes=(0,) * 9 + (None, None))(
         preints,
         w.q[:-1], w.p[:-1], w.v[:-1], w.bg[:-1], w.ba[:-1],
-        w.q[1:], w.p[1:], w.v[1:],
+        w.q[1:], w.p[1:], w.v[1:], w.g_dir, cfg.g_mag,
     )
     return J, r
 
