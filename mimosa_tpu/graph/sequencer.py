@@ -129,6 +129,11 @@ class SequencerConfig:
     rescue_radius: float = 0.0        # 0 = one map leaf
     rescue_yaw: float = 0.08          # rad, yaw candidate magnitude
     rescue_min_inlier_frac: float = 0.3
+    # localization mode: never update the map or the keyframe set — scans
+    # register against a fixed prior map (pass 2 of the two-pass
+    # mapping->localization refinement in io/replay.py, or localization
+    # against a survey map). Beyond the reference, which always maps.
+    freeze_map: bool = False
 
 
 class Sequencer:
@@ -139,7 +144,7 @@ class Sequencer:
                  win_cfg: win.WindowConfig = win.WindowConfig(),
                  map_cfg: vh.VoxelMapConfig = vh.VoxelMapConfig(),
                  geo_cfg: geo.GeometricConfig = geo.GeometricConfig(),
-                 photo_cfg=None, dtype=jnp.float32):
+                 photo_cfg=None, dtype=jnp.float32, init_map=None):
         self.cfg = seq_cfg
         self.win_cfg = win_cfg
         self.map_cfg = map_cfg
@@ -157,7 +162,10 @@ class Sequencer:
         self.imu = ImuBuffer(max_duration=seq_cfg.imu_max_buffer_duration,
                              acc_scale=seq_cfg.imu_acc_scale)
         self.window = win.create(win_cfg, dtype)
-        self.vmap = vh.create(map_cfg, dtype)
+        # init_map: start from an existing voxel map (localization against
+        # a prior/survey map; pass 2 of the two-pass refinement)
+        self.vmap = vh.create(map_cfg, dtype) if init_map is None \
+            else init_map
         K = win_cfg.K
         self.preints = jax.tree_util.tree_map(
             lambda *xs: jnp.stack(xs),
@@ -1283,30 +1291,33 @@ def _scan_step(window, vmap, preints, fv, scan_f, pt_valid,
         photo_out = (pr.num_tracked, pr.status_counts)
 
     # 7) device-side keyframe decision (ref geometric.cpp:440-478) + map
-    # update + trajectory/debug logging — no host round-trip anywhere
+    # update + trajectory/debug logging — no host round-trip anywhere.
+    # freeze_map = localization mode: the map and keyframe set stay fixed.
     q_new, p_new = window.q[slot], window.p[slot]
-    kf_idx = jnp.arange(seq_cfg.max_keyframes)
-    kf_mask = kf_idx < kf_count
-    dmin = jnp.min(jnp.where(
-        kf_mask, jnp.linalg.norm(kf_p - p_new[None], axis=-1), jnp.inf))
-    dots = jnp.abs(kf_q @ q_new)
-    amin = jnp.min(jnp.where(kf_mask, 2.0 * jnp.arccos(
-        jnp.clip(dots, -1.0, 1.0)), jnp.inf))
-    is_kf = (kf_count < seq_cfg.num_initial_keyframes) | \
-        (dmin > seq_cfg.keyframe_trans_thresh) | \
-        (amin > seq_cfg.keyframe_rot_thresh)
+    if not seq_cfg.freeze_map:
+        kf_idx = jnp.arange(seq_cfg.max_keyframes)
+        kf_mask = kf_idx < kf_count
+        dmin = jnp.min(jnp.where(
+            kf_mask, jnp.linalg.norm(kf_p - p_new[None], axis=-1), jnp.inf))
+        dots = jnp.abs(kf_q @ q_new)
+        amin = jnp.min(jnp.where(kf_mask, 2.0 * jnp.arccos(
+            jnp.clip(dots, -1.0, 1.0)), jnp.inf))
+        is_kf = (kf_count < seq_cfg.num_initial_keyframes) | \
+            (dmin > seq_cfg.keyframe_trans_thresh) | \
+            (amin > seq_cfg.keyframe_rot_thresh)
 
-    q_wl, t_wl = lie.se3_compose(q_new, p_new, q_bl, t_bl)
-    pts_w = lie.se3_transform(q_wl, t_wl, dsk.points_le)
-    map_pts, map_valid, _ = voxel_downsample(
-        pts_w, pt_valid, seq_cfg.map_insert_leaf, seq_cfg.n_map_points)
-    vmap = map_update_fn(vmap, map_pts, map_valid & is_kf, scan_idx)
+        q_wl, t_wl = lie.se3_compose(q_new, p_new, q_bl, t_bl)
+        pts_w = lie.se3_transform(q_wl, t_wl, dsk.points_le)
+        map_pts, map_valid, _ = voxel_downsample(
+            pts_w, pt_valid, seq_cfg.map_insert_leaf, seq_cfg.n_map_points)
+        vmap = map_update_fn(vmap, map_pts, map_valid & is_kf, scan_idx)
 
-    kf_slot = jnp.where(is_kf, kf_count,
-                        jnp.asarray(seq_cfg.max_keyframes - 1, jnp.int32))
-    kf_q = kf_q.at[kf_slot].set(jnp.where(is_kf, q_new, kf_q[kf_slot]))
-    kf_p = kf_p.at[kf_slot].set(jnp.where(is_kf, p_new, kf_p[kf_slot]))
-    kf_count = kf_count + is_kf.astype(jnp.int32)
+        kf_slot = jnp.where(is_kf, kf_count,
+                            jnp.asarray(seq_cfg.max_keyframes - 1,
+                                        jnp.int32))
+        kf_q = kf_q.at[kf_slot].set(jnp.where(is_kf, q_new, kf_q[kf_slot]))
+        kf_p = kf_p.at[kf_slot].set(jnp.where(is_kf, p_new, kf_p[kf_slot]))
+        kf_count = kf_count + is_kf.astype(jnp.int32)
 
     traj_q = traj_q.at[traj_idx].set(q_new)
     traj_p = traj_p.at[traj_idx].set(p_new)
@@ -1357,14 +1368,16 @@ def _init_lidar_step(window, vmap, traj_q, traj_p, kf_q, kf_p,
         window, traj_q, traj_p, q0, g0, bg, ba, ts, win_cfg=win_cfg)
     kf_q = kf_q.at[0].set(q0)
     kf_p = kf_p.at[0].set(jnp.zeros(3, d))
-    q_bl = jnp.asarray(seq_cfg.q_b_l, d)
-    t_bl = jnp.asarray(seq_cfg.t_b_l, d)
-    q_wl, t_wl = lie.se3_compose(q0, jnp.zeros(3, d), q_bl, t_bl)
-    pts_w = lie.se3_transform(q_wl, t_wl, pts)
-    ds, ds_valid, _ = voxel_downsample(pts_w, vd, seq_cfg.map_insert_leaf,
-                                       seq_cfg.n_map_points)
-    vmap = _map_update(vmap, ds, ds_valid, jnp.asarray(0, jnp.int32),
-                       map_cfg=map_cfg)
+    if not seq_cfg.freeze_map:
+        q_bl = jnp.asarray(seq_cfg.q_b_l, d)
+        t_bl = jnp.asarray(seq_cfg.t_b_l, d)
+        q_wl, t_wl = lie.se3_compose(q0, jnp.zeros(3, d), q_bl, t_bl)
+        pts_w = lie.se3_transform(q_wl, t_wl, pts)
+        ds, ds_valid, _ = voxel_downsample(pts_w, vd,
+                                           seq_cfg.map_insert_leaf,
+                                           seq_cfg.n_map_points)
+        vmap = _map_update(vmap, ds, ds_valid, jnp.asarray(0, jnp.int32),
+                           map_cfg=map_cfg)
     return window, vmap, traj_q, traj_p, kf_q, kf_p
 
 
@@ -1513,31 +1526,33 @@ def _scan_ooo_step(window, vmap, preints, fv, scan_f, pt_valid, imu_a,
 
     # keyframe-gated map densification at the refined pose — same policy
     # as the main path (ref geometric.cpp:440-478); an OOO scan seen from
-    # a new viewpoint still extends the map
-    q_new, p_new = window.q[slot], window.p[slot]
-    kf_idx = jnp.arange(seq_cfg.max_keyframes)
-    kf_mask = kf_idx < kf_count
-    dmin = jnp.min(jnp.where(
-        kf_mask, jnp.linalg.norm(kf_p - p_new[None], axis=-1), jnp.inf))
-    dots = jnp.abs(kf_q @ q_new)
-    amin = jnp.min(jnp.where(kf_mask, 2.0 * jnp.arccos(
-        jnp.clip(dots, -1.0, 1.0)), jnp.inf))
-    is_kf = (kf_count < seq_cfg.num_initial_keyframes) | \
-        (dmin > seq_cfg.keyframe_trans_thresh) | \
-        (amin > seq_cfg.keyframe_rot_thresh)
-    q_wl, t_wl = lie.se3_compose(q_new, p_new, q_bl, t_bl)
-    pts_w = lie.se3_transform(q_wl, t_wl, dsk.points_le)
-    map_pts, map_valid, _ = voxel_downsample(
-        pts_w, pt_valid, seq_cfg.map_insert_leaf, seq_cfg.n_map_points)
-    vmap2, slots = vh.insert(vmap, map_pts, map_valid & is_kf, scan_idx,
-                             map_cfg, return_slots=True)
-    vmap2 = vh.evict_stale(vmap2, scan_idx, map_cfg)
-    vmap = vh.update_planes_at(vmap2, slots, map_cfg)
-    kf_slot = jnp.where(is_kf, kf_count,
-                        jnp.asarray(seq_cfg.max_keyframes - 1, jnp.int32))
-    kf_q = kf_q.at[kf_slot].set(jnp.where(is_kf, q_new, kf_q[kf_slot]))
-    kf_p = kf_p.at[kf_slot].set(jnp.where(is_kf, p_new, kf_p[kf_slot]))
-    kf_count = kf_count + is_kf.astype(jnp.int32)
+    # a new viewpoint still extends the map (skipped in localization mode)
+    if not seq_cfg.freeze_map:
+        q_new, p_new = window.q[slot], window.p[slot]
+        kf_idx = jnp.arange(seq_cfg.max_keyframes)
+        kf_mask = kf_idx < kf_count
+        dmin = jnp.min(jnp.where(
+            kf_mask, jnp.linalg.norm(kf_p - p_new[None], axis=-1), jnp.inf))
+        dots = jnp.abs(kf_q @ q_new)
+        amin = jnp.min(jnp.where(kf_mask, 2.0 * jnp.arccos(
+            jnp.clip(dots, -1.0, 1.0)), jnp.inf))
+        is_kf = (kf_count < seq_cfg.num_initial_keyframes) | \
+            (dmin > seq_cfg.keyframe_trans_thresh) | \
+            (amin > seq_cfg.keyframe_rot_thresh)
+        q_wl, t_wl = lie.se3_compose(q_new, p_new, q_bl, t_bl)
+        pts_w = lie.se3_transform(q_wl, t_wl, dsk.points_le)
+        map_pts, map_valid, _ = voxel_downsample(
+            pts_w, pt_valid, seq_cfg.map_insert_leaf, seq_cfg.n_map_points)
+        vmap2, slots = vh.insert(vmap, map_pts, map_valid & is_kf, scan_idx,
+                                 map_cfg, return_slots=True)
+        vmap2 = vh.evict_stale(vmap2, scan_idx, map_cfg)
+        vmap = vh.update_planes_at(vmap2, slots, map_cfg)
+        kf_slot = jnp.where(is_kf, kf_count,
+                            jnp.asarray(seq_cfg.max_keyframes - 1,
+                                        jnp.int32))
+        kf_q = kf_q.at[kf_slot].set(jnp.where(is_kf, q_new, kf_q[kf_slot]))
+        kf_p = kf_p.at[kf_slot].set(jnp.where(is_kf, p_new, kf_p[kf_slot]))
+        kf_count = kf_count + is_kf.astype(jnp.int32)
 
     rec = jnp.zeros(17, d).at[0].set(icp.num_inlier.astype(d))
     debug_rec = debug_rec.at[scan_idx].set(rec)

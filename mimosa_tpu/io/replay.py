@@ -77,7 +77,13 @@ def replay_bag(bag_path, config_path, imu_topic, lidar_topic,
                radar_topic=None, odom_topic=None, override_path=None,
                start_offset=0.0, duration=None, max_scan_points=None,
                verbose=True, platform=None, step_control=None,
-               ouster_metadata=None, **seq_overrides):
+               ouster_metadata=None, two_pass=False, **seq_overrides):
+    """``two_pass=True`` = mapping->localization refinement (beyond the
+    reference): pass 1 runs the normal SLAM replay building the map; pass 2
+    replays the same messages against the FROZEN final map (freeze_map
+    localization mode), so every scan — including the earliest, which pass
+    1 registered against a sparse just-born map — registers against the
+    complete reconstruction. Returns the pass-2 sequencer."""
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
@@ -105,11 +111,17 @@ def replay_bag(bag_path, config_path, imu_topic, lidar_topic,
             "sensor_metadata_path")
         meta = loader.load_ouster_metadata(meta_path) if meta_path else None
         photo_cfg = loader.photometric_from_reference(cs.raw, meta)
-    s = seq.Sequencer(seq_cfg=cs.sequencer, win_cfg=cs.window,
-                      map_cfg=cs.voxel_map, geo_cfg=cs.geometric,
-                      photo_cfg=photo_cfg, dtype=jnp.float32)
-    s.radar_cfg = cs.radar
-    s.odom_cfg = cs.odometry
+    def make_sequencer(freeze=False, init_map=None):
+        import dataclasses as _dc
+        cfg_i = _dc.replace(cs.sequencer, freeze_map=True) if freeze \
+            else cs.sequencer
+        s_ = seq.Sequencer(seq_cfg=cfg_i, win_cfg=cs.window,
+                           map_cfg=cs.voxel_map, geo_cfg=cs.geometric,
+                           photo_cfg=photo_cfg, dtype=jnp.float32,
+                           init_map=init_map)
+        s_.radar_cfg = cs.radar
+        s_.odom_cfg = cs.odometry
+        return s_
 
     topics = {imu_topic, lidar_topic}
     if radar_topic:
@@ -145,10 +157,10 @@ def replay_bag(bag_path, config_path, imu_topic, lidar_topic,
         return float(mgr.get("ts_offset", 0.0)), int(
             mgr.get("initial_skip", 0))
     ts_off = {}
-    skip_left = {}
+    skip_left0 = {}
     for ns, key in (("imu", "imu"), ("lidar", "lidar"), ("radar", "radar"),
                     ("odometry", "odom")):
-        ts_off[key], skip_left[key] = _sensor_base(ns)
+        ts_off[key], skip_left0[key] = _sensor_base(ns)
 
     import glob as _glob
     bag_files = sorted(_glob.glob(bag_path)) if any(
@@ -162,11 +174,13 @@ def replay_bag(bag_path, config_path, imu_topic, lidar_topic,
     t0 = msgs[0][2] + start_offset
     t_stop = t0 + duration if duration else float("inf")
 
-    # scan-collection delay queue: hold scans until IMU passes scan end
-    pending = []
-    n_proc = 0
-    t_start = time.time()
-    for topic, mtype, t, m in msgs:
+    def run_events(s, label=""):
+      # scan-collection delay queue: hold scans until IMU passes scan end
+      skip_left = dict(skip_left0)
+      pending = []
+      n_proc = 0
+      t_start = time.time()
+      for topic, mtype, t, m in msgs:
         if t < t0 or t > t_stop:
             continue
         if topic == imu_topic:
@@ -231,11 +245,18 @@ def replay_bag(bag_path, config_path, imu_topic, lidar_topic,
                 continue
             s.add_odometry(m["stamp"] + ts_off["odom"], m["q"], m["p"],
                            m["pose_cov"])
-    wall = time.time() - t_start
-    if verbose:
-        print(f"replayed {n_proc} scans in {wall:.1f}s "
+      wall = time.time() - t_start
+      if verbose:
+        print(f"{label}replayed {n_proc} scans in {wall:.1f}s "
               f"({n_proc / max(wall, 1e-9):.2f} scans/s) "
               f"counters={s.counters}")
+
+    s = make_sequencer()
+    run_events(s)
+    if two_pass:
+        s2 = make_sequencer(freeze=True, init_map=s.vmap)
+        run_events(s2, label="pass 2 (frozen map): ")
+        return s2
     return s
 
 
@@ -261,6 +282,9 @@ def main():
                          "the replay to this directory")
     ap.add_argument("--interactive", action="store_true",
                     help="SPACE pause, 's' step one scan, 'q' abort")
+    ap.add_argument("--two-pass", action="store_true",
+                    help="mapping->localization refinement: replay again "
+                         "against the frozen final map")
     args = ap.parse_args()
 
     import contextlib
@@ -278,7 +302,8 @@ def main():
                        args.duration, platform=args.platform,
                        step_control=StepControl() if args.interactive
                        else None,
-                       ouster_metadata=args.ouster_metadata)
+                       ouster_metadata=args.ouster_metadata,
+                       two_pass=args.two_pass)
     s.write_tum(args.out)
     print(f"trajectory -> {args.out} ({len(s.trajectory)} poses)")
     if args.gt:

@@ -16,7 +16,7 @@ def run(platform=None, dtype="float32", t_total=12.0, verbose=True,
         seed=0, imu_noise=0.0, range_noise=0.0, n_gn_iters=3,
         use_photometric=False, world=None, tc=None,
         project_on_degeneracy=False, use_4dof=False,
-        project_degenerate=False):
+        project_degenerate=False, two_pass=False):
     import jax
 
     if platform:
@@ -47,41 +47,52 @@ def run(platform=None, dtype="float32", t_total=12.0, verbose=True,
             project_on_degeneracy=project_on_degeneracy)
 
     n_scan_pts = lm.n_rows * lm.n_cols
-    s = seq.Sequencer(
-        photo_cfg=photo_cfg,
-        seq_cfg=seq.SequencerConfig(
-            max_scan_points=max(4096, n_scan_pts),
-            n_geo_points=4096, n_map_points=8192,
-            geo_leaf=0.4, map_insert_leaf=0.15,
-            keyframe_trans_thresh=0.3, keyframe_rot_thresh=0.15,
-            n_gn_iters=n_gn_iters,
-        ),
-        win_cfg=win.WindowConfig(K=6),
-        map_cfg=vh.VoxelMapConfig(leaf_size=0.4, capacity_log2=17,
-                                  plane_min_points=5, lru_horizon=0),
-        geo_cfg=geo.GeometricConfig(sigma=0.05, loc_count_thresh=50.0,
-                                    use_4dof=use_4dof,
-                                    project_degenerate=project_degenerate),
-        dtype=jnp.float32,
-    )
 
-    # event-ordered replay: all IMU up to each scan end first (the
-    # lidar_collection_delay queue of mimosa_rosbag.cpp:111-115)
-    imu = data["imu"]
-    imu_i = 0
+    def make_sequencer(freeze=False, init_map=None):
+        return seq.Sequencer(
+            photo_cfg=photo_cfg,
+            seq_cfg=seq.SequencerConfig(
+                max_scan_points=max(4096, n_scan_pts),
+                n_geo_points=4096, n_map_points=8192,
+                geo_leaf=0.4, map_insert_leaf=0.15,
+                keyframe_trans_thresh=0.3, keyframe_rot_thresh=0.15,
+                n_gn_iters=n_gn_iters, freeze_map=freeze,
+            ),
+            win_cfg=win.WindowConfig(K=6),
+            map_cfg=vh.VoxelMapConfig(leaf_size=0.4, capacity_log2=17,
+                                      plane_min_points=5, lru_horizon=0),
+            geo_cfg=geo.GeometricConfig(
+                sigma=0.05, loc_count_thresh=50.0, use_4dof=use_4dof,
+                project_degenerate=project_degenerate),
+            dtype=jnp.float32, init_map=init_map,
+        )
+
+    def replay(s):
+        # event-ordered replay: all IMU up to each scan end first (the
+        # lidar_collection_delay queue of mimosa_rosbag.cpp:111-115)
+        imu = data["imu"]
+        imu_i = 0
+        n = 0
+        for scan in data["scans"]:
+            t_end = scan["ts_header"] + scan["t_rel"].max()
+            while imu_i < len(imu["ts"]) and \
+                    imu["ts"][imu_i] <= t_end + 0.03:
+                s.add_imu(imu["ts"][imu_i], imu["acc"][imu_i],
+                          imu["gyro"][imu_i])
+                imu_i += 1
+            s.add_scan(scan["ts_header"], scan["points"], scan["t_rel"],
+                       scan["valid"], intensity=scan.get("intensity"))
+            n += 1
+        return n
+
     t0 = time.time()
-    n_scans = 0
-    for scan in data["scans"]:
-        # feed IMU until it has advanced past scan end before processing the
-        # scan (the lidar_collection_delay queue, mimosa_rosbag.cpp:111-115)
-        t_end = scan["ts_header"] + scan["t_rel"].max()
-        while imu_i < len(imu["ts"]) and imu["ts"][imu_i] <= t_end + 0.03:
-            s.add_imu(imu["ts"][imu_i], imu["acc"][imu_i],
-                      imu["gyro"][imu_i])
-            imu_i += 1
-        s.add_scan(scan["ts_header"], scan["points"], scan["t_rel"],
-                   scan["valid"], intensity=scan.get("intensity"))
-        n_scans += 1
+    s = make_sequencer()
+    n_scans = replay(s)
+    if two_pass:
+        # mapping->localization refinement: re-run against the frozen
+        # final map (io/replay.py two_pass docstring)
+        s = make_sequencer(freeze=True, init_map=s.vmap)
+        replay(s)
     wall = time.time() - t0
 
     est_ts = [t for t, _, _ in s.trajectory]

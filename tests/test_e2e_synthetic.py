@@ -38,3 +38,17 @@ def test_e2e_4dof_registration():
     out = sr.run(t_total=5.0, verbose=False, seed=1, imu_noise=0.01,
                  range_noise=0.005, use_4dof=True)
     assert out["ate"] < 0.08, out["ate"]
+
+
+def test_e2e_two_pass_refinement():
+    """Mapping->localization two-pass (beyond the reference): pass 2
+    registers every scan against the frozen FINAL map, so the early
+    trajectory — which pass 1 estimated against a sparse newborn map —
+    must come back at least as good, and the absolute gate tightens."""
+    out1 = sr.run(t_total=6.0, verbose=False, seed=3, imu_noise=0.02,
+                  range_noise=0.01)
+    out2 = sr.run(t_total=6.0, verbose=False, seed=3, imu_noise=0.02,
+                  range_noise=0.01, two_pass=True)
+    assert out2["ate"] < 0.05, (out1["ate"], out2["ate"])
+    assert out2["ate"] <= out1["ate"] * 1.2 + 1e-4, \
+        (out1["ate"], out2["ate"])
