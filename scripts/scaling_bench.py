@@ -99,6 +99,69 @@ def main():
               f"eff {eff:5.2f}", flush=True)
     print(json.dumps({"metric": "sharded_icp_scaling", "results": results}))
 
+    # --- wp axis: distributed Schur-complement batch window adjustment ---
+    # (parallel/window_shard.py — keyframes sharded, one psum per GN round;
+    # same virtual-device caveat as above: correctness + lower-bound only)
+    from mimosa_tpu.graph import window as win
+    from mimosa_tpu.imu import preintegration as pre
+    from mimosa_tpu.parallel import window_shard as ws
+
+    K = 64
+    cfg = win.WindowConfig(K=K, damping=1e-6)
+    dtype = jnp.float32
+    rngw = np.random.default_rng(1)
+    qs = jnp.tile(lie.quat_identity(dtype), (K, 1))
+    ps = jnp.asarray(np.cumsum(rngw.normal(size=(K, 3)) * 0.1, 0), dtype)
+    vs = jnp.zeros((K, 3), dtype)
+    bgs = jnp.zeros((K, 3), dtype)
+    bas = jnp.zeros((K, 3), dtype)
+    gd = jnp.asarray([0.0, 0.0, -1.0], dtype)
+    M = 20
+    accs = jnp.asarray(
+        np.tile([[0.0, 0.0, 9.81]], (M, 1))
+        + rngw.normal(size=(M, 3)) * 0.01, dtype)
+    seg = pre.preintegrate(accs, jnp.zeros((M, 3), dtype),
+                           jnp.full(M, 0.005, dtype),
+                           jnp.zeros(3, dtype), jnp.zeros(3, dtype),
+                           1e-4, 1e-5)
+    preints = jax.tree_util.tree_map(
+        lambda a: jnp.broadcast_to(a[None], (K - 1,) + a.shape), seg)
+    fv = jnp.ones(K - 1, bool)
+    A = rngw.normal(size=(K, win.SD, win.SD))
+    mH = jnp.asarray(np.einsum("kij,kil->kjl", A, A), dtype)
+    mb = jnp.asarray(rngw.normal(size=(K, win.SD)), dtype)
+
+    results_w = {}
+    base = None
+    for n in [1, 2, 4, 8]:
+        if n > n_dev or K // n < 2:
+            break
+        mesh = ws.make_wp_mesh(n)
+        prior = ws.anchor_prior(qs, ps, vs, bgs, bas, gd,
+                                (qs[0], ps[0], vs[0], bgs[0], bas[0], gd),
+                                cfg)
+        f = jax.jit(lambda mh, mb_: ws.distributed_gn_step(
+            mesh, qs, ps, vs, bgs, bas, gd, preints, fv, mh, mb_, cfg,
+            prior))
+        out = f(mH, mb)
+        jax.block_until_ready(out)
+        t0 = time.time()
+        reps = 10
+        for _ in range(reps):
+            out = f(mH, mb)
+        jax.block_until_ready(out)
+        dt = (time.time() - t0) / reps * 1000
+        if base is None:
+            base = dt
+        eff = base / dt / n
+        results_w[n] = dict(ms=round(dt, 2),
+                            speedup=round(base / dt, 2),
+                            efficiency=round(eff, 3))
+        print(f"wp devices={n:2d} K={K}  {dt:7.2f} ms/GN-step  "
+              f"speedup {base / dt:5.2f}  eff {eff:5.2f}", flush=True)
+    print(json.dumps({"metric": "window_shard_scaling",
+                      "K": K, "results": results_w}))
+
 
 if __name__ == "__main__":
     main()
