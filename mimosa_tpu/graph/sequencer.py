@@ -47,6 +47,12 @@ logger = logging.getLogger("mimosa_tpu.sequencer")
 # (OOB, MASKED, OCCLUDED, NCC — see lidar.photometric status codes)
 PH_SUM_SLOTS = (1, 3, 4, 5)
 
+# per-scan debug record layout: 17 status slots (debug_records()) followed
+# by the upper triangle (21) of the scan's absorbed pose-information
+# matrix [6,6] — consumed by graph/refine.py batch smoothing
+DBG_W = 17 + 21
+_TRIU6 = np.triu_indices(6)
+
 
 @dataclasses.dataclass(frozen=True)
 class SequencerConfig:
@@ -191,8 +197,9 @@ class Sequencer:
         self.kf_count = jnp.zeros((), jnp.int32)
         self.traj_q = jnp.zeros((S, 4), dtype)
         self.traj_p = jnp.zeros((S, 3), dtype)
-        self.debug_rec = jnp.zeros((S, 17), dtype)
+        self.debug_rec = jnp.zeros((S, DBG_W), dtype)
         self._traj_ts = []           # host: timestamps, index = ring row
+        self._traj_src = []          # host: scan_idx per row (-1 = no scan)
         # per-stage host wall timings (ref LidarManagerDebug t_* fields)
         self.timers = StageTimer()
 
@@ -244,7 +251,21 @@ class Sequencer:
         counts, mean_abs_res, 3+3 degeneracy flags, photometric tracked,
         rescue-triggered flag — the equivalent of the reference's
         LidarGeometricDebug / LidarPhotometricDebug messages."""
-        return np.asarray(self.debug_rec[: self.scan_idx])
+        return np.asarray(self.debug_rec[: self.scan_idx, :17])
+
+    def pose_info_records(self):
+        """[n_traj, 6, 6] absorbed pose-information matrix per trajectory
+        row (zeros for rows declared by radar/odometry/init, which carry
+        no scan registration) — the batch smoother's measurement input."""
+        dbg = np.asarray(self.debug_rec[: self.scan_idx, 17:])
+        out = np.zeros((len(self._traj_ts), 6, 6), dbg.dtype)
+        iu = _TRIU6
+        for row, sc in enumerate(self._traj_src):
+            if 0 <= sc < len(dbg):
+                h = np.zeros((6, 6), dbg.dtype)
+                h[iu] = dbg[sc]
+                out[row] = h + h.T - np.diag(np.diag(h))
+        return out
 
     @property
     def last_icp(self):
@@ -350,6 +371,7 @@ class Sequencer:
             self.traj_q, self.traj_p,
             jnp.asarray(len(self._traj_ts), jnp.int32), q_new, p_new)
         self._traj_ts.append(ts)
+        self._traj_src.append(-1)
 
     def _radar_ooo(self, ts, pts_raw, dop, snr, mean_gyro, rcfg):
         """Out-of-order radar: same-key collapse onto a neighbor state, or
@@ -495,6 +517,7 @@ class Sequencer:
             self.traj_q, self.traj_p,
             jnp.asarray(len(self._traj_ts), jnp.int32), q_new, p_new)
         self._traj_ts.append(ts)
+        self._traj_src.append(-1)
 
     # --------------------------------------------------------- declare utils
     def _marginalize_host(self):
@@ -698,13 +721,17 @@ class Sequencer:
         if same_key:
             # SUCCESS_SAME_KEY: the scan's factors were defined on the
             # existing newest state (ref sensor_manager_base.hpp:242) —
-            # no new state, window bookkeeping unchanged
+            # no new state, window bookkeeping unchanged; the refreshed
+            # trajectory row now carries this scan's pose information
+            if self._traj_src:
+                self._traj_src[-1] = self.scan_idx - 1
             self.counters["scans_same_key"] += 1
             return
         self.n_active += 1
         self.last_state_ts = t_end
         self.state_ts.append(t_end)
         self._traj_ts.append(t_end)
+        self._traj_src.append(self.scan_idx - 1)
 
     def _scan_ooo(self, staged):
         """Out-of-order scan (ref graph/manager.cpp:220-417 applied to the
@@ -833,6 +860,7 @@ class Sequencer:
         self.last_state_ts = ts
         self.state_ts = [ts]
         self._traj_ts.append(ts)
+        self._traj_src.append(-1)
         logger.info("initialized (inertial, non-lidar) at ts=%.4f", ts)
 
     def _try_initialize(self, ts_header, t_end, points, t_abs_rel, valid):
@@ -867,6 +895,7 @@ class Sequencer:
         self.last_state_ts = t_end
         self.state_ts = [t_end]
         self._traj_ts.append(t_end)
+        self._traj_src.append(-1)
         logger.info("initialized at ts=%.4f q=%s", t_end, att["q_w_b"])
 
     def write_tum(self, path):
@@ -1322,8 +1351,13 @@ def _scan_step(window, vmap, preints, fv, scan_f, pt_valid,
     traj_q = traj_q.at[traj_idx].set(q_new)
     traj_p = traj_p.at[traj_idx].set(p_new)
 
-    rec = jnp.zeros(17, d)
+    rec = jnp.zeros(DBG_W, d)
     rec = rec.at[16].set(rescued)
+    # the scan's absorbed pose information (geometric + photometric, after
+    # any degeneracy projection) — the measurement quadratic the batch
+    # smoother (graph/refine.py) replays as a unary pose factor
+    Hpose = gH if photo_cfg is None else gH + Hb
+    rec = rec.at[17:].set(Hpose[_TRIU6])
     rec = rec.at[0].set(icp.num_inlier.astype(d))
     rec = rec.at[1:5].set(icp.status_counts.astype(d))
     rec = rec.at[5].set(icp.mean_abs_res)
@@ -1554,7 +1588,7 @@ def _scan_ooo_step(window, vmap, preints, fv, scan_f, pt_valid, imu_a,
         kf_p = kf_p.at[kf_slot].set(jnp.where(is_kf, p_new, kf_p[kf_slot]))
         kf_count = kf_count + is_kf.astype(jnp.int32)
 
-    rec = jnp.zeros(17, d).at[0].set(icp.num_inlier.astype(d))
+    rec = jnp.zeros(DBG_W, d).at[0].set(icp.num_inlier.astype(d))
     debug_rec = debug_rec.at[scan_idx].set(rec)
     return window, vmap, preints, fv, debug_rec, kf_q, kf_p, kf_count
 

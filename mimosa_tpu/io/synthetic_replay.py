@@ -16,7 +16,7 @@ def run(platform=None, dtype="float32", t_total=12.0, verbose=True,
         seed=0, imu_noise=0.0, range_noise=0.0, n_gn_iters=3,
         use_photometric=False, world=None, tc=None,
         project_on_degeneracy=False, use_4dof=False,
-        project_degenerate=False, two_pass=False):
+        project_degenerate=False, two_pass=False, smooth=False):
     import jax
 
     if platform:
@@ -100,13 +100,23 @@ def run(platform=None, dtype="float32", t_total=12.0, verbose=True,
     import numpy as np
     ate = syn.ate_rmse(np.asarray(est_ts), np.asarray(est_p),
                        data["gt"]["ts"], data["gt"]["pos"])
+    ate_smooth = None
+    if smooth:
+        # pass 3: global batch smoothing of the whole trajectory
+        from mimosa_tpu.graph import refine
+        imu = data["imu"]
+        sm_ts, _, sm_p = refine.smooth(s, imu["ts"], imu["acc"],
+                                       imu["gyro"])
+        ate_smooth = syn.ate_rmse(sm_ts, sm_p, data["gt"]["ts"],
+                                  data["gt"]["pos"])
     if verbose:
         print(f"replayed {n_scans} scans in {wall:.1f}s "
               f"({n_scans / max(wall, 1e-9):.1f} scans/s incl. compile)")
         print(f"counters: {s.counters}")
-        print(f"ATE RMSE: {ate:.4f} m (gate: < 0.10 m)")
+        print(f"ATE RMSE: {ate:.4f} m (gate: < 0.10 m)"
+              + (f"  smoothed: {ate_smooth:.4f} m" if smooth else ""))
     return dict(ate=ate, wall=wall, n_scans=n_scans, counters=s.counters,
-                sequencer=s, data=data)
+                sequencer=s, data=data, ate_smooth=ate_smooth)
 
 
 if __name__ == "__main__":

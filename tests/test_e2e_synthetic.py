@@ -52,3 +52,15 @@ def test_e2e_two_pass_refinement():
     assert out2["ate"] < 0.05, (out1["ate"], out2["ate"])
     assert out2["ate"] <= out1["ate"] * 1.2 + 1e-4, \
         (out1["ate"], out2["ate"])
+
+
+def test_e2e_batch_smoothing():
+    """Pass-3 global batch smoothing (graph/refine.py over the wp-sharded
+    distributed GN): re-solving the whole trajectory with each scan's
+    absorbed pose quadratic + a re-preintegrated IMU chain must improve
+    the fixed-lag result (early poses finally see later information)."""
+    out = sr.run(t_total=6.0, verbose=False, seed=3, imu_noise=0.02,
+                 range_noise=0.01, smooth=True)
+    assert out["ate_smooth"] < 0.05, out["ate_smooth"]
+    assert out["ate_smooth"] <= out["ate"] * 1.1 + 1e-4, \
+        (out["ate"], out["ate_smooth"])
