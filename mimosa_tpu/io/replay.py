@@ -77,13 +77,18 @@ def replay_bag(bag_path, config_path, imu_topic, lidar_topic,
                radar_topic=None, odom_topic=None, override_path=None,
                start_offset=0.0, duration=None, max_scan_points=None,
                verbose=True, platform=None, step_control=None,
-               ouster_metadata=None, two_pass=False, **seq_overrides):
+               ouster_metadata=None, two_pass=False, smooth=False,
+               **seq_overrides):
     """``two_pass=True`` = mapping->localization refinement (beyond the
     reference): pass 1 runs the normal SLAM replay building the map; pass 2
     replays the same messages against the FROZEN final map (freeze_map
     localization mode), so every scan — including the earliest, which pass
     1 registered against a sparse just-born map — registers against the
-    complete reconstruction. Returns the pass-2 sequencer."""
+    complete reconstruction. Returns the pass-2 sequencer.
+
+    ``smooth=True`` = global batch smoothing (graph/refine.py) of the final
+    trajectory from the bag's full IMU stream; the result is attached to
+    the returned sequencer as ``.smoothed = (ts, q, p)``."""
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
@@ -256,7 +261,18 @@ def replay_bag(bag_path, config_path, imu_topic, lidar_topic,
     if two_pass:
         s2 = make_sequencer(freeze=True, init_map=s.vmap)
         run_events(s2, label="pass 2 (frozen map): ")
-        return s2
+        s = s2
+    if smooth and len(s._traj_ts) >= 3:
+        from mimosa_tpu.graph import refine
+        imu_rows = [(m["stamp"] + ts_off["imu"], m["acc"], m["gyro"])
+                    for topic, _, t, m in msgs
+                    if topic == imu_topic and t0 <= t <= t_stop]
+        its = np.asarray([r[0] for r in imu_rows])
+        s.smoothed = refine.smooth(s, its,
+                                   np.asarray([r[1] for r in imu_rows]),
+                                   np.asarray([r[2] for r in imu_rows]))
+        if verbose:
+            print(f"batch smoothing: re-solved {len(s.smoothed[0])} states")
     return s
 
 
@@ -285,6 +301,9 @@ def main():
     ap.add_argument("--two-pass", action="store_true",
                     help="mapping->localization refinement: replay again "
                          "against the frozen final map")
+    ap.add_argument("--smooth", action="store_true",
+                    help="global batch smoothing of the final trajectory "
+                         "(graph/refine.py)")
     args = ap.parse_args()
 
     import contextlib
@@ -303,18 +322,31 @@ def main():
                        step_control=StepControl() if args.interactive
                        else None,
                        ouster_metadata=args.ouster_metadata,
-                       two_pass=args.two_pass)
-    s.write_tum(args.out)
-    print(f"trajectory -> {args.out} ({len(s.trajectory)} poses)")
+                       two_pass=args.two_pass, smooth=args.smooth)
+    import numpy as np
+    smoothed = getattr(s, "smoothed", None)
+    if smoothed is not None:
+        sm_ts, sm_q, sm_p = smoothed
+        with open(args.out, "w") as f:
+            for i in range(len(sm_ts)):
+                q, p = sm_q[i], sm_p[i]
+                f.write(f"{sm_ts[i]:.9f} {p[0]} {p[1]} {p[2]} "
+                        f"{q[1]} {q[2]} {q[3]} {q[0]}\n")
+        print(f"smoothed trajectory -> {args.out} ({len(sm_ts)} poses)")
+    else:
+        s.write_tum(args.out)
+        print(f"trajectory -> {args.out} ({len(s.trajectory)} poses)")
     if args.gt:
-        import numpy as np
-
         from mimosa_tpu.utils import evaluation as ev
         gt_ts, gt_p, _ = ev.load_tum(args.gt)
         est_ts = np.asarray([t for t, _, _ in s.trajectory])
         est_p = np.asarray([p for _, p, _ in s.trajectory])
         print(f"ATE: {ev.ate(est_ts, est_p, gt_ts, gt_p):.4f} m  "
               f"RTE: {ev.rte(est_ts, est_p, gt_ts, gt_p):.2f} %")
+        if smoothed is not None:
+            print(f"smoothed ATE: "
+                  f"{ev.ate(sm_ts, sm_p, gt_ts, gt_p):.4f} m  "
+                  f"RTE: {ev.rte(sm_ts, sm_p, gt_ts, gt_p):.2f} %")
 
 
 if __name__ == "__main__":

@@ -20,7 +20,7 @@ _DEVICE_ATTRS = ("window", "vmap", "preints", "fv", "features",
                  "kf_q", "kf_p", "kf_count", "traj_q", "traj_p",
                  "debug_rec")
 _HOST_ATTRS = ("n_active", "initialized", "scan_idx", "last_state_ts",
-               "state_ts", "counters", "_traj_ts")
+               "state_ts", "counters", "_traj_ts", "_traj_src")
 
 
 def save(seq, path):
@@ -68,6 +68,9 @@ def load(seq, path):
     seq.state_ts = list(h["state_ts"])
     seq.counters = {k: int(v) for k, v in h["counters"].items()}
     seq._traj_ts = list(h["_traj_ts"])
+    # pre-_traj_src checkpoints: no per-row scan source -> no pose info
+    seq._traj_src = [int(v) for v in h.get(
+        "_traj_src", [-1] * len(seq._traj_ts))]
     seq.imu.ts = z["imu_ts"]
     seq.imu.acc = z["imu_acc"]
     seq.imu.gyro = z["imu_gyro"]

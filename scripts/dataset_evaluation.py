@@ -61,6 +61,10 @@ def main():
     ap.add_argument("--sequences", nargs="*")
     ap.add_argument("--out", default="/tmp/mimosa_tpu_eval")
     ap.add_argument("--platform")
+    ap.add_argument("--two-pass", action="store_true",
+                    help="mapping->localization refinement per sequence")
+    ap.add_argument("--smooth", action="store_true",
+                    help="global batch smoothing per sequence")
     args = ap.parse_args()
 
     import numpy as np
@@ -83,14 +87,19 @@ def main():
         s = replay_bag(bags[0], args.config, args.imu_topic,
                        args.lidar_topic, args.radar_topic, args.odom_topic,
                        args.config_override, platform=args.platform,
-                       ouster_metadata=args.ouster_metadata)
+                       ouster_metadata=args.ouster_metadata,
+                       two_pass=args.two_pass, smooth=args.smooth)
         tum_path = os.path.join(args.out, f"{seq}.tum")
         s.write_tum(tum_path)
         row = dict(sequence=seq, poses=len(s.trajectory))
+        smoothed = getattr(s, "smoothed", None)
         if gt:
             gt_ts, gt_p, _ = ev.load_tum(gt)
-            est_ts = np.asarray([t for t, _, _ in s.trajectory])
-            est_p = np.asarray([p for _, p, _ in s.trajectory])
+            if smoothed is not None:
+                est_ts, _, est_p = smoothed
+            else:
+                est_ts = np.asarray([t for t, _, _ in s.trajectory])
+                est_p = np.asarray([p for _, p, _ in s.trajectory])
             row["ate"] = ev.ate(est_ts, est_p, gt_ts, gt_p)
             row["rte"] = ev.rte(est_ts, est_p, gt_ts, gt_p)
         rows.append(row)
