@@ -26,7 +26,8 @@ import numpy as np
 
 
 def smooth(sequencer, imu_ts, imu_acc, imu_gyro, mesh=None, iters=3,
-           max_imu_per_segment=256, max_states=4096):
+           max_imu_per_segment=256, max_states=4096,
+           weak_sigma_rot=0.2, weak_sigma_pos=0.5):
     """Batch-smooth a finished replay. Returns (ts [K0], q [K0,4],
     p [K0,3]) — the refined trajectory over the sequencer's rows.
 
@@ -57,6 +58,16 @@ def smooth(sequencer, imu_ts, imu_acc, imu_gyro, mesh=None, iters=3,
     q_est = np.asarray(s.traj_q[:n], np.float64)
     p_est = np.asarray(s.traj_p[:n], np.float64)
     H6 = s.pose_info_records().astype(np.float64)          # [K0,6,6]
+    # rows without a scan registration (declared by radar/odometry, or a
+    # scan whose quadratic never reached them) get a WEAK anchor at their
+    # replay pose: keeps the batch problem anchored everywhere (the gauge
+    # would otherwise float on long scan-free stretches) while any real
+    # scan information dominates it by orders of magnitude
+    weak = np.diag(np.concatenate([
+        np.full(3, 1.0 / weak_sigma_rot ** 2),
+        np.full(3, 1.0 / weak_sigma_pos ** 2)]))
+    no_info = np.abs(H6).max(axis=(1, 2)) < 1e-9
+    H6[no_info] = weak
 
     # mesh + pad K to a multiple of n_wp (>=2 states per shard); padded
     # states repeat the last row with dead IMU segments and zero

@@ -787,6 +787,14 @@ class Sequencer:
                 self.kf_q, self.kf_p, self.kf_count,
                 self.traj_q, self.traj_p, self.debug_rec, self.features)
             self.scan_idx += 1
+            # point the attach state's trajectory row at this scan's
+            # absorbed pose quadratic (batch smoothing input) — rows and
+            # states share their declare timestamp
+            attach_ts = self.state_ts[attach]
+            for row in range(len(self._traj_ts) - 1, -1, -1):
+                if self._traj_ts[row] == attach_ts:
+                    self._traj_src[row] = self.scan_idx - 1
+                    break
             self.counters["scans_ooo_samekey"] += 1
             return
         if self.n_active == self.win_cfg.K:
