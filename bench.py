@@ -19,9 +19,31 @@ import time
 import numpy as np
 
 
+def _tpu_alive(timeout_s=600):
+    """Probe the tunneled TPU in a SUBPROCESS: a wedged relay claim hangs
+    jax backend init forever (observed after killed TPU processes), and a
+    hung bench leaves the driver with no artifact at all. A dead probe
+    degrades the run to a CPU measurement instead."""
+    import os
+    import subprocess
+    import sys
+    if os.environ.get("JAX_PLATFORMS", "") in ("cpu",):
+        return False
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    tpu_ok = _tpu_alive()
     import jax
 
+    if not tpu_ok:
+        jax.config.update("jax_platforms", "cpu")
     # persistent compile cache: first-ever compile through the axon relay
     # costs minutes; cached reruns are seconds
     jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
@@ -134,6 +156,9 @@ def main():
         "ate_m": round(ate, 4),
         "photo_scans_per_s": round(sps_photo, 2),
         "platform": jax.devices()[0].platform,
+        # True when the TPU probe failed and this run measured the CPU
+        # fallback — compare against BENCH_r*.json TPU figures, not this
+        **({"tpu_unavailable_fallback": True} if not tpu_ok else {}),
     }))
 
 
