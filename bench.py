@@ -28,7 +28,7 @@ def _tpu_alive(timeout_s=600):
     import subprocess
     import sys
     if os.environ.get("JAX_PLATFORMS", "") in ("cpu",):
-        return False
+        return None            # user asked for CPU — not a degradation
     try:
         r = subprocess.run(
             [sys.executable, "-c", "import jax; jax.devices()"],
@@ -39,10 +39,10 @@ def _tpu_alive(timeout_s=600):
 
 
 def main():
-    tpu_ok = _tpu_alive()
+    tpu_ok = _tpu_alive()          # None = user-requested CPU
     import jax
 
-    if not tpu_ok:
+    if tpu_ok is False:
         jax.config.update("jax_platforms", "cpu")
     # persistent compile cache: first-ever compile through the axon relay
     # costs minutes; cached reruns are seconds
@@ -156,9 +156,9 @@ def main():
         "ate_m": round(ate, 4),
         "photo_scans_per_s": round(sps_photo, 2),
         "platform": jax.devices()[0].platform,
-        # True when the TPU probe failed and this run measured the CPU
-        # fallback — compare against BENCH_r*.json TPU figures, not this
-        **({"tpu_unavailable_fallback": True} if not tpu_ok else {}),
+        # True ONLY when the TPU probe failed (not a user-requested CPU
+        # run) — compare against BENCH_r*.json TPU figures, not this
+        **({"tpu_unavailable_fallback": True} if tpu_ok is False else {}),
     }))
 
 

@@ -118,14 +118,19 @@ def smooth(sequencer, imu_ts, imu_acc, imu_gyro, mesh=None, iters=3,
                                 s.cfg.acc_var, s.cfg.gyro_var,
                                 int_var=s.cfg.int_var, valid=vd)
 
-    preints = jax.vmap(preint_one)(jnp.asarray(accs), jnp.asarray(gyrs),
-                                   jnp.asarray(dts), jnp.asarray(seg_ok))
+    # jitted: eager dispatches poison the tunneled-TPU relay session
+    preints = jax.jit(jax.vmap(preint_one))(
+        jnp.asarray(accs), jnp.asarray(gyrs), jnp.asarray(dts),
+        jnp.asarray(seg_ok))
     fv = jnp.asarray(fv)
 
     # pose-measurement quadratics: anchor each row at its replay pose with
     # the scan's own information matrix (zeros for sensor rows without one)
     SD = win.SD
-    H6p = jnp.asarray(padded(H6), dtype)
+    # pad rows carry ZERO measurement information (their IMU segments are
+    # dead too, so they stay decoupled and damping pins their dx at 0)
+    H6p = jnp.asarray(np.concatenate(
+        [H6, np.zeros((pad, 6, 6))], axis=0), dtype)
     q_meas = q0
     p_meas = p0
     cfg = win.WindowConfig(K=K, damping=1e-6,

@@ -766,16 +766,24 @@ class Sequencer:
             ts_seg, accs, gyros, dts, seg_valid, _ = self.imu.segment(
                 prev_ts, t_end, self.cfg.max_imu_per_segment)
             base = ts_seg[0]
-            # scratch trajectory slot: OOO refinements do not rewrite the
-            # TUM history (the reference republishes only current state)
+            # refresh the attach state's own trajectory row (rows and
+            # states share their declare timestamp) so the logged pose and
+            # the scan's absorbed quadratic stay consistent for the batch
+            # smoother; scans whose state has no row (mid-window OOO
+            # insert) fall back to the scratch slot
+            attach_ts = self.state_ts[attach]
+            traj_row = self.cfg.max_trajectory - 1
+            for row in range(len(self._traj_ts) - 1, -1, -1):
+                if self._traj_ts[row] == attach_ts:
+                    traj_row = row
+                    break
             m = len(dts)
             imu_pack = np.zeros((m + 1, 8))
             imu_pack[:m, 0:3] = accs
             imu_pack[:m, 3:6] = gyros
             imu_pack[:m, 6] = dts
             imu_pack[:m, 7] = seg_valid
-            imu_pack[m, :6] = [pos - 1, t_end - base,
-                               self.cfg.max_trajectory - 1,
+            imu_pack[m, :6] = [pos - 1, t_end - base, traj_row,
                                self.scan_idx, ts_header - base, attach]
             step = self._get_scan_step(False, append=False)
             (self.window, self.vmap, self.preints, self.fv, self.features,
@@ -787,14 +795,10 @@ class Sequencer:
                 self.kf_q, self.kf_p, self.kf_count,
                 self.traj_q, self.traj_p, self.debug_rec, self.features)
             self.scan_idx += 1
-            # point the attach state's trajectory row at this scan's
-            # absorbed pose quadratic (batch smoothing input) — rows and
-            # states share their declare timestamp
-            attach_ts = self.state_ts[attach]
-            for row in range(len(self._traj_ts) - 1, -1, -1):
-                if self._traj_ts[row] == attach_ts:
-                    self._traj_src[row] = self.scan_idx - 1
-                    break
+            # point the refreshed row at this scan's absorbed pose
+            # quadratic (batch smoothing input)
+            if traj_row < len(self._traj_src):
+                self._traj_src[traj_row] = self.scan_idx - 1
             self.counters["scans_ooo_samekey"] += 1
             return
         if self.n_active == self.win_cfg.K:
@@ -948,6 +952,40 @@ def _dither_lanes(n, dtype):
         # encode offset, i.e. sub-nanometer after scaling
         cols.append(h.astype(dtype) / dtype.type(4294967296.0) - 0.5)
     return jnp.stack(cols, axis=-1)
+
+
+def _keyframe_map_update(vmap, q_new, p_new, points_le, pt_valid,
+                         kf_q, kf_p, kf_count, scan_idx, map_update_fn,
+                         *, seq_cfg):
+    """Device-side keyframe decision (ref geometric.cpp:440-478) + gated
+    map insert + keyframe ring update — shared by the main scan step and
+    the out-of-order scan step."""
+    d = p_new.dtype
+    kf_idx = jnp.arange(seq_cfg.max_keyframes)
+    kf_mask = kf_idx < kf_count
+    dmin = jnp.min(jnp.where(
+        kf_mask, jnp.linalg.norm(kf_p - p_new[None], axis=-1), jnp.inf))
+    dots = jnp.abs(kf_q @ q_new)
+    amin = jnp.min(jnp.where(kf_mask, 2.0 * jnp.arccos(
+        jnp.clip(dots, -1.0, 1.0)), jnp.inf))
+    is_kf = (kf_count < seq_cfg.num_initial_keyframes) | \
+        (dmin > seq_cfg.keyframe_trans_thresh) | \
+        (amin > seq_cfg.keyframe_rot_thresh)
+
+    q_bl = jnp.asarray(seq_cfg.q_b_l, d)
+    t_bl = jnp.asarray(seq_cfg.t_b_l, d)
+    q_wl, t_wl = lie.se3_compose(q_new, p_new, q_bl, t_bl)
+    pts_w = lie.se3_transform(q_wl, t_wl, points_le)
+    map_pts, map_valid, _ = voxel_downsample(
+        pts_w, pt_valid, seq_cfg.map_insert_leaf, seq_cfg.n_map_points)
+    vmap = map_update_fn(vmap, map_pts, map_valid & is_kf, scan_idx)
+
+    kf_slot = jnp.where(is_kf, kf_count,
+                        jnp.asarray(seq_cfg.max_keyframes - 1, jnp.int32))
+    kf_q = kf_q.at[kf_slot].set(jnp.where(is_kf, q_new, kf_q[kf_slot]))
+    kf_p = kf_p.at[kf_slot].set(jnp.where(is_kf, p_new, kf_p[kf_slot]))
+    kf_count = kf_count + is_kf.astype(jnp.int32)
+    return vmap, kf_q, kf_p, kf_count
 
 
 def _decode_scan(scan_f, pt_valid, t_offset, seq_cfg, d):
@@ -1332,29 +1370,9 @@ def _scan_step(window, vmap, preints, fv, scan_f, pt_valid,
     # freeze_map = localization mode: the map and keyframe set stay fixed.
     q_new, p_new = window.q[slot], window.p[slot]
     if not seq_cfg.freeze_map:
-        kf_idx = jnp.arange(seq_cfg.max_keyframes)
-        kf_mask = kf_idx < kf_count
-        dmin = jnp.min(jnp.where(
-            kf_mask, jnp.linalg.norm(kf_p - p_new[None], axis=-1), jnp.inf))
-        dots = jnp.abs(kf_q @ q_new)
-        amin = jnp.min(jnp.where(kf_mask, 2.0 * jnp.arccos(
-            jnp.clip(dots, -1.0, 1.0)), jnp.inf))
-        is_kf = (kf_count < seq_cfg.num_initial_keyframes) | \
-            (dmin > seq_cfg.keyframe_trans_thresh) | \
-            (amin > seq_cfg.keyframe_rot_thresh)
-
-        q_wl, t_wl = lie.se3_compose(q_new, p_new, q_bl, t_bl)
-        pts_w = lie.se3_transform(q_wl, t_wl, dsk.points_le)
-        map_pts, map_valid, _ = voxel_downsample(
-            pts_w, pt_valid, seq_cfg.map_insert_leaf, seq_cfg.n_map_points)
-        vmap = map_update_fn(vmap, map_pts, map_valid & is_kf, scan_idx)
-
-        kf_slot = jnp.where(is_kf, kf_count,
-                            jnp.asarray(seq_cfg.max_keyframes - 1,
-                                        jnp.int32))
-        kf_q = kf_q.at[kf_slot].set(jnp.where(is_kf, q_new, kf_q[kf_slot]))
-        kf_p = kf_p.at[kf_slot].set(jnp.where(is_kf, p_new, kf_p[kf_slot]))
-        kf_count = kf_count + is_kf.astype(jnp.int32)
+        vmap, kf_q, kf_p, kf_count = _keyframe_map_update(
+            vmap, q_new, p_new, dsk.points_le, pt_valid,
+            kf_q, kf_p, kf_count, scan_idx, map_update_fn, seq_cfg=seq_cfg)
 
     traj_q = traj_q.at[traj_idx].set(q_new)
     traj_p = traj_p.at[traj_idx].set(p_new)
@@ -1570,31 +1588,16 @@ def _scan_ooo_step(window, vmap, preints, fv, scan_f, pt_valid, imu_a,
     # as the main path (ref geometric.cpp:440-478); an OOO scan seen from
     # a new viewpoint still extends the map (skipped in localization mode)
     if not seq_cfg.freeze_map:
-        q_new, p_new = window.q[slot], window.p[slot]
-        kf_idx = jnp.arange(seq_cfg.max_keyframes)
-        kf_mask = kf_idx < kf_count
-        dmin = jnp.min(jnp.where(
-            kf_mask, jnp.linalg.norm(kf_p - p_new[None], axis=-1), jnp.inf))
-        dots = jnp.abs(kf_q @ q_new)
-        amin = jnp.min(jnp.where(kf_mask, 2.0 * jnp.arccos(
-            jnp.clip(dots, -1.0, 1.0)), jnp.inf))
-        is_kf = (kf_count < seq_cfg.num_initial_keyframes) | \
-            (dmin > seq_cfg.keyframe_trans_thresh) | \
-            (amin > seq_cfg.keyframe_rot_thresh)
-        q_wl, t_wl = lie.se3_compose(q_new, p_new, q_bl, t_bl)
-        pts_w = lie.se3_transform(q_wl, t_wl, dsk.points_le)
-        map_pts, map_valid, _ = voxel_downsample(
-            pts_w, pt_valid, seq_cfg.map_insert_leaf, seq_cfg.n_map_points)
-        vmap2, slots = vh.insert(vmap, map_pts, map_valid & is_kf, scan_idx,
-                                 map_cfg, return_slots=True)
-        vmap2 = vh.evict_stale(vmap2, scan_idx, map_cfg)
-        vmap = vh.update_planes_at(vmap2, slots, map_cfg)
-        kf_slot = jnp.where(is_kf, kf_count,
-                            jnp.asarray(seq_cfg.max_keyframes - 1,
-                                        jnp.int32))
-        kf_q = kf_q.at[kf_slot].set(jnp.where(is_kf, q_new, kf_q[kf_slot]))
-        kf_p = kf_p.at[kf_slot].set(jnp.where(is_kf, p_new, kf_p[kf_slot]))
-        kf_count = kf_count + is_kf.astype(jnp.int32)
+        def ooo_map_update(vmap_, pts_, valid_, idx_):
+            vmap2, slots = vh.insert(vmap_, pts_, valid_, idx_, map_cfg,
+                                     return_slots=True)
+            vmap2 = vh.evict_stale(vmap2, idx_, map_cfg)
+            return vh.update_planes_at(vmap2, slots, map_cfg)
+
+        vmap, kf_q, kf_p, kf_count = _keyframe_map_update(
+            vmap, window.q[slot], window.p[slot], dsk.points_le, pt_valid,
+            kf_q, kf_p, kf_count, scan_idx, ooo_map_update,
+            seq_cfg=seq_cfg)
 
     rec = jnp.zeros(DBG_W, d).at[0].set(icp.num_inlier.astype(d))
     debug_rec = debug_rec.at[scan_idx].set(rec)

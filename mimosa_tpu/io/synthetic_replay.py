@@ -88,12 +88,13 @@ def run(platform=None, dtype="float32", t_total=12.0, verbose=True,
     t0 = time.time()
     s = make_sequencer()
     n_scans = replay(s)
+    wall = time.time() - t0
     if two_pass:
         # mapping->localization refinement: re-run against the frozen
-        # final map (io/replay.py two_pass docstring)
+        # final map (io/replay.py two_pass docstring). Timed separately —
+        # wall/n_scans stay a single-pass throughput figure.
         s = make_sequencer(freeze=True, init_map=s.vmap)
         replay(s)
-    wall = time.time() - t0
 
     est_ts = [t for t, _, _ in s.trajectory]
     est_p = [p for _, p, _ in s.trajectory]

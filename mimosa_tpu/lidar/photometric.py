@@ -630,7 +630,9 @@ def linearize(frame: Frame, feats: Features, q_wl, t_wl,
         ui = jnp.clip(jnp.round(u).astype(jnp.int32), 0, cfg.rows - 1)
         vi = jnp.clip(jnp.round(v).astype(jnp.int32), 0, cfg.cols - 1)
         in_img = fov & (u >= 0) & (u <= cfg.rows - 1)
-        ctr = P // 2
+        # the center sample is patch_layout's ci — NOT P//2 once custom
+        # edgelet offsets / rotation reorder the pattern
+        ctr = patch_layout(cfg)[2]
         center_ok = (u[ctr] >= cfg.margin) & (u[ctr] < cfg.rows - cfg.margin)
         in_rng = (rng >= cfg.range_min) & (rng <= cfg.range_max)
         masked = frame.mask[ui, vi]

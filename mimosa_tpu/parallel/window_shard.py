@@ -257,17 +257,26 @@ def batch_adjust(mesh: Mesh, q, p, v, bg, ba, g_dir, preints, factor_valid,
     """Distributed batch trajectory adjustment: ``iters`` GN rounds, each
     re-linearizing measurements via ``meas_fn(q,p,v,bg,ba,g_dir) ->
     (meas_H [K,15,15], meas_b [K,15])`` and re-anchoring the prior at the
-    INITIAL state-0/gravity estimate (batch smoothing keeps the gauge)."""
+    INITIAL state-0/gravity estimate (batch smoothing keeps the gauge).
+
+    The whole iteration (meas_fn, prior, sharded solve, retraction) is ONE
+    jitted program: on the tunneled TPU an eager dispatch both costs
+    ~25 ms per op and permanently downgrades the relay session to
+    per-program round-trips (CLAUDE.md), so the loop must never go
+    op-by-op."""
     anchor = (q[0], p[0], v[0], bg[0], ba[0], g_dir)
-    for _ in range(iters):
+
+    @jax.jit
+    def one_iter(q, p, v, bg, ba, g_dir):
         meas_H, meas_b = meas_fn(q, p, v, bg, ba, g_dir)
         prior = anchor_prior(q, p, v, bg, ba, g_dir, anchor, cfg)
         dx, dg = distributed_gn_step(mesh, q, p, v, bg, ba, g_dir,
                                      preints, factor_valid,
                                      meas_H, meas_b, cfg, prior)
-        q, p = jax.vmap(lie.se3_retract)(q, p, dx[:, :6])
-        v = v + dx[:, 6:9]
-        bg = bg + dx[:, 9:12]
-        ba = ba + dx[:, 12:15]
-        g_dir = lie.s2_retract(g_dir, dg)
+        q2, p2 = jax.vmap(lie.se3_retract)(q, p, dx[:, :6])
+        return (q2, p2, v + dx[:, 6:9], bg + dx[:, 9:12],
+                ba + dx[:, 12:15], lie.s2_retract(g_dir, dg))
+
+    for _ in range(iters):
+        q, p, v, bg, ba, g_dir = one_iter(q, p, v, bg, ba, g_dir)
     return q, p, v, bg, ba, g_dir

@@ -48,7 +48,8 @@ def main():
                             max_diff=args.max_diff),
                      len(ts)))
 
-    best_ate = min(r[1] for r in rows)
+    ates = [r[1] for r in rows if np.isfinite(r[1])]
+    best_ate = min(ates) if ates else float("nan")
     rtes = [r[2] for r in rows if np.isfinite(r[2])]
     best_rte = min(rtes) if rtes else float("nan")
     print(f"| method | ATE (m) | RTE (% / {args.delta_m:.0f} m) | poses |")

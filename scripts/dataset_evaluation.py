@@ -90,9 +90,18 @@ def main():
                        ouster_metadata=args.ouster_metadata,
                        two_pass=args.two_pass, smooth=args.smooth)
         tum_path = os.path.join(args.out, f"{seq}.tum")
-        s.write_tum(tum_path)
-        row = dict(sequence=seq, poses=len(s.trajectory))
         smoothed = getattr(s, "smoothed", None)
+        if smoothed is not None:
+            # the saved artifact must be the trajectory the table scores
+            sm_ts, sm_q, sm_p = smoothed
+            with open(tum_path, "w") as f:
+                for i in range(len(sm_ts)):
+                    qq, pp = sm_q[i], sm_p[i]
+                    f.write(f"{sm_ts[i]:.9f} {pp[0]} {pp[1]} {pp[2]} "
+                            f"{qq[1]} {qq[2]} {qq[3]} {qq[0]}\n")
+        else:
+            s.write_tum(tum_path)
+        row = dict(sequence=seq, poses=len(s.trajectory))
         if gt:
             gt_ts, gt_p, _ = ev.load_tum(gt)
             if smoothed is not None:
