@@ -98,13 +98,16 @@ def raycast(world, origins, dirs, max_range=60.0):
         nrm = rect.normal
         denom = dirs @ nrm
         with np.errstate(divide="ignore", invalid="ignore"):
+            # rays parallel to the plane produce inf/NaN here by design;
+            # the ok mask below discards them
             t = ((rect.o - origins) @ nrm) / denom
-        hit = origins + t[:, None] * dirs
-        rel = hit - rect.o
-        a = rel @ rect.e1 / (rect.e1 @ rect.e1)
-        b = rel @ rect.e2 / (rect.e2 @ rect.e2)
-        ok = (np.abs(denom) > 1e-9) & (t > 0.05) & (t < max_range) & \
-             (a >= 0) & (a <= 1) & (b >= 0) & (b <= 1)
+            hit = origins + t[:, None] * dirs
+            rel = hit - rect.o
+            a = rel @ rect.e1 / (rect.e1 @ rect.e1)
+            b = rel @ rect.e2 / (rect.e2 @ rect.e2)
+        with np.errstate(invalid="ignore"):
+            ok = (np.abs(denom) > 1e-9) & (t > 0.05) & (t < max_range) & \
+                 (a >= 0) & (a <= 1) & (b >= 0) & (b <= 1)
         best = np.where(ok & (t < best), t, best)
     return best
 
