@@ -25,6 +25,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import logging
+import typing
 
 import jax
 import jax.numpy as jnp
@@ -52,6 +53,44 @@ PH_SUM_SLOTS = (1, 3, 4, 5)
 # matrix [6,6] — consumed by graph/refine.py batch smoothing
 DBG_W = 17 + 21
 _TRIU6 = np.triu_indices(6)
+
+
+class EstimatorState(typing.NamedTuple):
+    """Host-side snapshot of one optimized state — the analogue of the
+    reference's State value object (ref include/mimosa/state.hpp:22-50:
+    key, ts, NavState pose+velocity, IMU bias, gravity Unit3)."""
+
+    ts: float
+    q: np.ndarray      # [4] body->world rotation, wxyz Hamilton
+    p: np.ndarray      # [3] position in world
+    v: np.ndarray      # [3] velocity in world
+    bg: np.ndarray     # [3] gyro bias
+    ba: np.ndarray     # [3] accel bias
+    g_dir: np.ndarray  # [3] unit gravity direction in world
+
+
+def _extract_states(window):
+    """All window slots as one [K, 19] row matrix (q,p,v,bg,ba,g_dir) —
+    a single jitted program + transfer, so user-facing state queries never
+    issue eager per-field device ops (each would cost an RPC round-trip on
+    a tunneled TPU and poison streamed dispatch; CLAUDE.md)."""
+    K = window.q.shape[0]
+    return jnp.concatenate(
+        [window.q, window.p, window.v, window.bg, window.ba,
+         jnp.tile(window.g_dir[None, :], (K, 1))], axis=1)
+
+
+def _slerp_np(q0, q1, a):
+    """Host-side quaternion slerp (wxyz), shortest arc."""
+    d = float(np.dot(q0, q1))
+    if d < 0.0:
+        q1, d = -q1, -d
+    if d > 0.9995:
+        q = q0 + a * (q1 - q0)
+    else:
+        th = np.arccos(min(max(d, -1.0), 1.0))
+        q = (np.sin((1.0 - a) * th) * q0 + np.sin(a * th) * q1) / np.sin(th)
+    return q / np.linalg.norm(q)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -218,6 +257,10 @@ class Sequencer:
         self._jit_traj_append = jax.jit(
             lambda tq, tp, i, q, p: (tq.at[i].set(q), tp.at[i].set(p)),
             donate_argnums=(0, 1))
+        # ring doubling (one jitted program per shape — an eager
+        # concatenate would poison the relay's streamed dispatch)
+        self._jit_double = jax.jit(
+            lambda a: jnp.concatenate([a, jnp.zeros_like(a)]))
         self._step_cache = {}
 
     def _get_scan_step(self, marginalize_first: bool, append: bool = True):
@@ -285,6 +328,100 @@ class Sequencer:
         r = np.asarray(self.debug_rec[self.scan_idx - 1])
         return (int(r[12]), r[12:16].astype(np.int64))
 
+    # ----------------------------------------------------------- state query
+    # The reference graph manager's public query interface
+    # (ref include/mimosa/graph/manager.hpp:120-148: getCurrentState,
+    # getStateUpto, getPoseAt, getCurrentOptimizedValues), re-expressed on
+    # the dense window + trajectory ring.
+
+    def _window_rows(self):
+        ex = self._step_cache.get("extract_states")
+        if ex is None:
+            ex = self._step_cache["extract_states"] = jax.jit(_extract_states)
+        return np.asarray(ex(self.window))
+
+    def _mk_state(self, ts, row):
+        return EstimatorState(float(ts), row[0:4], row[4:7], row[7:10],
+                              row[10:13], row[13:16], row[16:19])
+
+    def current_state(self):
+        """Newest optimized state (ref graph::Manager::getCurrentState,
+        graph/manager.hpp:128). None before initialization."""
+        if not self.initialized or self.n_active == 0:
+            return None
+        rows = self._window_rows()
+        return self._mk_state(self.state_ts[-1], rows[self.n_active - 1])
+
+    def optimized_values(self):
+        """All live window states, oldest first (ref
+        getCurrentOptimizedValues, graph/manager.hpp:139)."""
+        if not self.initialized or self.n_active == 0:
+            return []
+        rows = self._window_rows()
+        return [self._mk_state(self.state_ts[i], rows[i])
+                for i in range(min(self.n_active, len(self.state_ts)))]
+
+    def state_upto(self, ts):
+        """Newest live state with timestamp <= ts (ref getStateUpto,
+        graph/manager.cpp:507 — the deskew-base lookup). None when every
+        active state is newer (the reference returns false)."""
+        if not self.initialized or self.n_active == 0:
+            return None
+        i = int(np.searchsorted(np.asarray(self.state_ts[:self.n_active]),
+                                ts, side="right")) - 1
+        if i < 0:
+            return None
+        return self._mk_state(self.state_ts[i], self._window_rows()[i])
+
+    def pose_at(self, ts, tol=5e-3, interpolate=False):
+        """(q_wxyz, p) at a logged timestamp (ref getPoseAt,
+        graph/manager.hpp:133 — the ts_key_map lookup), searched over the
+        WHOLE trajectory ring including marginalized states, unlike
+        :meth:`state_upto` which sees only the live window. Nearest entry
+        within ``tol`` seconds; with ``interpolate=True`` an arbitrary
+        in-range ts is answered by slerp/lerp between the bracketing
+        entries. Returns None outside the log (or outside tol)."""
+        n = len(self._traj_ts)
+        if n == 0:
+            return None
+        ts_arr = np.asarray(self._traj_ts)
+        # full-ring transfers (no eager device slice — CLAUDE.md poison)
+        q = np.asarray(self.traj_q)[:n]
+        p = np.asarray(self.traj_p)[:n]
+        if interpolate and ts_arr[0] <= ts <= ts_arr[-1]:
+            j = int(np.searchsorted(ts_arr, ts, side="left"))
+            if j == 0 or ts_arr[j] == ts:
+                return q[j], p[j]
+            i = j - 1
+            a = (ts - ts_arr[i]) / max(ts_arr[j] - ts_arr[i], 1e-12)
+            return (_slerp_np(np.asarray(q[i], np.float64),
+                              np.asarray(q[j], np.float64),
+                              a).astype(q.dtype),
+                    (1.0 - a) * p[i] + a * p[j])
+        k = int(np.argmin(np.abs(ts_arr - ts)))
+        if abs(ts_arr[k] - ts) > tol:
+            return None
+        return q[k], p[k]
+
+    def _ensure_log_capacity(self):
+        """Grow the device-resident trajectory/debug rings when full.
+
+        The rings are fixed-shape device arrays written by scatters inside
+        the jitted steps; XLA *clamps* out-of-range scatter indices, so
+        running past capacity would silently overwrite the scratch row
+        (shape-1) and the `trajectory` property would fail. Amortized
+        doubling keeps arbitrarily long runs correct at the cost of one
+        step recompile per doubling (rare: the default capacity is 65536
+        rows ≈ 1.8 h of 10 Hz scans; the reference's append-only TUM logs
+        never truncate either, graph/manager.cpp:714-720)."""
+        S = self.traj_q.shape[0]
+        if max(self.scan_idx, len(self._traj_ts)) < S - 1:
+            return
+        self.traj_q = self._jit_double(self.traj_q)
+        self.traj_p = self._jit_double(self.traj_p)
+        self.debug_rec = self._jit_double(self.debug_rec)
+        logger.info("trajectory/debug log capacity grown to %d rows", 2 * S)
+
     # ------------------------------------------------------------------ IMU
     def add_imu(self, ts, acc, gyro):
         self.imu.add(float(ts), acc, gyro)
@@ -312,6 +449,7 @@ class Sequencer:
         self.counters.setdefault("radar_frames", 0)
         self.counters.setdefault("radar_dropped", 0)
         self.counters["radar_frames"] += 1
+        self._ensure_log_capacity()
         ts = float(ts)
         if not self.initialized:
             if rcfg.use_to_init:
@@ -459,6 +597,7 @@ class Sequencer:
         self.counters.setdefault("odom_msgs", 0)
         self.counters.setdefault("odom_dropped", 0)
         self.counters["odom_msgs"] += 1
+        self._ensure_log_capacity()
         ts = float(ts)
         if cov6 is not None and odo.d_optimality(np.asarray(cov6)) > \
                 ocfg.max_d_optimality:
@@ -636,6 +775,7 @@ class Sequencer:
         :meth:`stage_scan`) instead of raw arrays to consume a scan whose
         transfer was started ahead of time."""
         self.counters["scans"] += 1
+        self._ensure_log_capacity()
         if staged is None:
             staged = self.stage_scan(ts_header, points, t_rel, valid,
                                      intensity)
@@ -772,7 +912,7 @@ class Sequencer:
             # smoother; scans whose state has no row (mid-window OOO
             # insert) fall back to the scratch slot
             attach_ts = self.state_ts[attach]
-            traj_row = self.cfg.max_trajectory - 1
+            traj_row = self.traj_q.shape[0] - 1
             for row in range(len(self._traj_ts) - 1, -1, -1):
                 if self._traj_ts[row] == attach_ts:
                     traj_row = row
@@ -820,7 +960,7 @@ class Sequencer:
         imu_b = np.concatenate([accs_b, gyros_b, dts_b[:, None],
                                 vb[:, None].astype(np.float64)], axis=1)
         scalars = np.asarray([pos, t_end - base,
-                              self.cfg.max_trajectory - 1, self.scan_idx,
+                              self.traj_q.shape[0] - 1, self.scan_idx,
                               ts_header - base, 0])
         step = self._get_scan_ooo_step()
         (self.window, self.vmap, self.preints, self.fv,

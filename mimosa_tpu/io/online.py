@@ -103,6 +103,7 @@ class OnlineEstimator:
         self._held = []                  # events waiting for IMU coverage
         self._extract = _make_state_extractor()
         self._pending_state = None       # (ts, device handle) in flight
+        self._latest_state = None        # last resolved EstimatorState
         self._stop = threading.Event()
         self._worker = threading.Thread(target=self._run, daemon=True,
                                         name="mimosa-graph-worker")
@@ -155,6 +156,25 @@ class OnlineEstimator:
                                   np.asarray(t_s, float),
                                   None if cov6 is None
                                   else np.asarray(cov6, float))))
+
+    # -------------------------------------------------------------- queries
+
+    def current_state(self):
+        """Latest optimized state snapshot (the online analogue of
+        graph::Manager::getCurrentState, ref graph/manager.hpp:128).
+        Thread-safe: returns the immutable snapshot published by the worker
+        after each rebase; None before the first optimized state lands."""
+        return self._latest_state
+
+    def current_pose(self):
+        """IMU-rate propagated (ts, q, p, v) — the low-latency high-rate
+        output (ref imu/manager.cpp:98-161). None until the propagator has
+        a base state."""
+        with self._prop_lock:
+            pr = self.propagator
+            if not pr.ready or pr.ts is None:
+                return None
+            return (float(pr.ts), pr.q.copy(), pr.p.copy(), pr.v.copy())
 
     # ------------------------------------------------------------ lifecycle
 
@@ -268,6 +288,8 @@ class OnlineEstimator:
                               s[16:19])
         with self._prop_lock:
             self.propagator.set_base_state(ts, q, p, v, bg, ba, g)
+        from mimosa_tpu.graph.sequencer import EstimatorState
+        self._latest_state = EstimatorState(float(ts), q, p, v, bg, ba, g)
         self.counters["rebases"] += 1
         if self.on_state is not None:
             self.on_state(float(ts), q, p, v, bg, ba, g)

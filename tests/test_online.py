@@ -86,9 +86,19 @@ def test_online_matches_offline(data):
             assert est.push_scan(x["ts_header"], x["points"], x["t_rel"],
                                  x["valid"])
             assert est.flush(timeout=120.0)
+    # thread-safe query surface (ref getCurrentState + the IMU-rate path)
+    cs = est.current_state()
+    assert cs is not None and cs.ts <= est.seq.last_state_ts
+    cp = est.current_pose()
+    assert cp is not None and cp[0] >= cs.ts
     est.stop(drain=True)
 
     assert est.counters["scans_dropped_backlog"] == 0
+    # after drain the snapshot reflects the newest optimized state
+    cs = est.current_state()
+    assert cs is not None
+    np.testing.assert_allclose(
+        cs.p, est.seq.current_state().p, atol=1e-6)
     t_off = np.array([t for t, _, _ in offline.trajectory])
     p_off = np.array([p for _, p, _ in offline.trajectory])
     t_on = np.array([t for t, _, _ in est.seq.trajectory])
