@@ -63,7 +63,7 @@ def main():
     data = syn.generate(world, tc, lm, seed=0, imu_noise=0.01,
                         range_noise=0.01)
 
-    def make_sequencer(photo=False):
+    def make_sequencer(photo=False, n_gn_iters=3):
         photo_cfg = None
         if photo:
             # full PG-LIO pipeline: intensity image build + FIR chain +
@@ -74,16 +74,22 @@ def main():
                 fov_down=lm.fov_down, range_min=0.5, range_max=60.0,
                 gradient_threshold=2.0, nma_radius=5, num_features=64,
                 margin=3, intensity_scale=1.0)
+        # the reference's ENWIDE point_skip_divisor=4 thins only the
+        # geometric pipeline; photometric consumes the full cloud
+        # (manager.cpp:244-335). Geometric-only replays subsample at pack
+        # time (point_skip — 1/4 the transfer bytes); photometric replays
+        # ship the full cloud and thin on-device (geo_skip).
+        skip_kw = (dict(max_scan_points=lm.n_rows * lm.n_cols,
+                        point_skip=1, geo_skip=4) if photo else
+                   dict(max_scan_points=lm.n_rows * lm.n_cols // 4,
+                        point_skip=4))
         return seq.Sequencer(
             photo_cfg=photo_cfg,
             seq_cfg=seq.SequencerConfig(
-                # point_skip=4 matches the reference's ENWIDE config
-                # (point_skip_divisor: 4, mimosa/config/enwide/params.yaml)
-                max_scan_points=lm.n_rows * lm.n_cols // 4, point_skip=4,
                 n_geo_points=8192, n_map_points=16384,
                 geo_leaf=0.5, map_insert_leaf=0.2,
                 keyframe_trans_thresh=0.3, keyframe_rot_thresh=0.15,
-                n_gn_iters=3,
+                n_gn_iters=n_gn_iters, **skip_kw,
             ),
             win_cfg=win.WindowConfig(K=8),
             map_cfg=vh.VoxelMapConfig(leaf_size=0.5, capacity_log2=19,
@@ -148,6 +154,57 @@ def main():
     est_p = np.asarray([p for _, p, _ in s.trajectory])
     ate = syn.ate_rmse(est_ts, est_p, data["gt"]["ts"], data["gt"]["pos"])
 
+    # ---- per-stage attribution (ref LidarManagerDebug t_* stage fields):
+    # the relay's session-to-session throughput swings ±30%, so the
+    # headline number alone cannot localize a regression; emit the
+    # host-pack / GN / point-pipeline split alongside it.
+    def profiled_pass(n_gn_iters, n_scans=60):
+        """Short instrumented replay: per-scan host time (pack + IMU feed)
+        and BLOCKED step time (device + dispatch; blocking adds a constant
+        sync round-trip that cancels in the GN-iteration diff below)."""
+        s = make_sequencer(n_gn_iters=n_gn_iters)
+        host_ts, step_ts = [], []
+        orig_get = s._get_scan_step
+
+        def get_wrapped(*a, **k):
+            jfn = orig_get(*a, **k)
+
+            def timed(*aa, **kk):
+                t0 = time.perf_counter()
+                out = jfn(*aa, **kk)
+                jax.block_until_ready(out)
+                step_ts.append(time.perf_counter() - t0)
+                return out
+            return timed
+        s._get_scan_step = get_wrapped
+
+        imu_i = 0
+        n = min(n_scans, len(scans))
+        for i in range(n):
+            sc = scans[i]
+            t0 = time.perf_counter()
+            st = s.stage_scan(sc["ts_header"], sc["points"], sc["t_rel"],
+                              sc["valid"])
+            j = int(np.searchsorted(imu["ts"], st["t_end"] + 0.03, "right"))
+            if j > imu_i:
+                s.add_imu_batch(imu["ts"][imu_i:j], imu["acc"][imu_i:j],
+                                imu["gyro"][imu_i:j])
+                imu_i = j
+            th = time.perf_counter() - t0
+            s.add_scan(st["ts_header"], staged=st)
+            if len(step_ts) > len(host_ts):
+                host_ts.append(th)
+        # drop compile/warmup scans
+        return (1e3 * float(np.median(host_ts[10:])),
+                1e3 * float(np.median(step_ts[10:])))
+
+    t_host_ms, t_step3_ms = profiled_pass(3)
+    _, t_step0_ms = profiled_pass(0)
+    # GN cost = full step minus a 0-GN-iteration step (same program minus
+    # the GN loop); the remaining blocked step time is the point pipeline
+    # (deskew/downsample/match/absorb/map update) + dispatch.
+    t_gn_ms = max(t_step3_ms - t_step0_ms, 0.0)
+
     print(json.dumps({
         "metric": "lidar_scans_per_s_per_chip",
         "value": round(sps, 2),
@@ -155,6 +212,10 @@ def main():
         "vs_baseline": round(sps / 10.0, 2),
         "ate_m": round(ate, 4),
         "photo_scans_per_s": round(sps_photo, 2),
+        "t_host_ms": round(t_host_ms, 3),
+        "t_gn_ms": round(t_gn_ms, 3),
+        "t_points_ms": round(t_step0_ms, 3),
+        "rates_all_runs": [round(r, 1) for r in rates],
         "platform": jax.devices()[0].platform,
         # True ONLY when the TPU probe failed (not a user-requested CPU
         # run) — compare against BENCH_r*.json TPU figures, not this

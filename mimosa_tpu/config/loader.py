@@ -134,6 +134,8 @@ def load_ouster_metadata(path) -> dict:
         beam_altitudes=tuple(math.radians(a) for a in alt_deg),
         pixel_shift_by_row=tuple(shifts) if shifts else None,
         rows=int(rows), cols=int(cols),
+        beam_offset_m=float(
+            bi.get("lidar_origin_to_beam_origin_mm", 0.0)) * 1e-3,
     )
 
 
@@ -190,6 +192,15 @@ def photometric_from_reference(raw: dict, ouster_meta=None):
     if ouster_meta:
         kw.update(rows=ouster_meta["rows"], cols=ouster_meta["cols"],
                   beam_altitudes=ouster_meta["beam_altitudes"])
+        if ouster_meta.get("pixel_shift_by_row"):
+            # real Ouster metadata enables the exact sampling model
+            # (destagger + yaw table + projectUndistorted — the
+            # reference's only model, photometric.cpp:72-198); explicit
+            # lidar/photometric/exact_ouster: false opts out
+            kw.update(
+                exact_ouster=bool(g("exact_ouster", True)),
+                pixel_shift_by_row=ouster_meta["pixel_shift_by_row"],
+                beam_offset_m=ouster_meta.get("beam_offset_m", 0.0))
     else:
         # without sensor metadata the image model comes from explicit keys
         # (extension for non-Ouster / synthetic platforms; the reference
@@ -219,6 +230,12 @@ def from_reference_dict(raw: dict, declare_rate_hz=10.0,
     g = lambda p, d=None: _get(raw, p, d)  # noqa: E731
 
     # ---- window / smoother (ref graph/manager.cpp:45-93,771-839)
+    # K is the static slot CAPACITY, sized for the expected multi-sensor
+    # declare rate (lidar + radar + odometry Hz — pass the sum as
+    # declare_rate_hz for e.g. hornbill's 20-50 Hz radar declares); the
+    # reference's time-lag SEMANTICS are enforced at runtime by
+    # SequencerConfig.lag_secs (age-based marginalization), so an
+    # over-provisioned K costs only compute, never accuracy.
     lag = float(g("graph/manager/smoother/lag", 0.5))
     K = max(3, int(math.ceil(lag * declare_rate_hz)) + 1)
     deg = math.pi / 180.0
@@ -310,6 +327,11 @@ def from_reference_dict(raw: dict, declare_rate_hz=10.0,
     # ---- sequencer
     q_bl, t_bl = _pose7(g("lidar/T_B_S", [0, 0, 0, 0, 0, 0, 1]))
     seq_kwargs = dict(
+        lag_secs=lag,
+        # the reference's point_skip_divisor thins only the geometric
+        # pipeline (manager.cpp:244-335); geo_skip applies it on-device so
+        # photometric sees the full cloud
+        geo_skip=int(g("lidar/geometric/point_skip_divisor", 1)),
         geo_leaf=float(g(
             "lidar/geometric/scan_to_map/source_voxel_grid_filter_leaf_size",
             0.5)),

@@ -50,8 +50,11 @@ PH_SUM_SLOTS = (1, 3, 4, 5)
 
 # per-scan debug record layout: 17 status slots (debug_records()) followed
 # by the upper triangle (21) of the scan's absorbed pose-information
-# matrix [6,6] — consumed by graph/refine.py batch smoothing
-DBG_W = 17 + 21
+# matrix [6,6] (consumed by graph/refine.py batch smoothing), followed by
+# the 9 IMU-factor localizability eigenvalues (rot, pos, vel ascending —
+# ref ImuManagerDebug, imu/manager.cpp:436-482). Widening breaks loading
+# pre-widening checkpoints (shape mismatch) — accepted.
+DBG_W = 17 + 21 + 9
 _TRIU6 = np.triu_indices(6)
 
 
@@ -109,6 +112,14 @@ class SequencerConfig:
     gravity_aligned_init: bool = True
     min_imu_between_states: int = 2   # ref same-key threshold
     max_measurement_latency: float = 0.5
+    # fixed-lag semantics (ref graph/manager.cpp:399-407 key-timestamp
+    # map + IncrementalFixedLagSmoother lag): states older than
+    # newest_ts - lag_secs are marginalized at declare time, so the window
+    # covers lag SECONDS regardless of the multi-sensor declare rate
+    # (round-1 weakness: K = ceil(lag * assumed_rate) alone silently
+    # shortened the window in seconds under 20-50 Hz radar declares).
+    # 0 = disabled: the window slides only when the K slots fill.
+    lag_secs: float = 0.0
     # keyframe policy (ref geometric.cpp:440-478)
     keyframe_trans_thresh: float = 0.5
     keyframe_rot_thresh: float = 0.2  # rad
@@ -141,8 +152,14 @@ class SequencerConfig:
     # low-noise scans snapped to the quantization lattice bias voxel plane
     # normals (staircase aliasing) enough to halve ICP inliers
     quant_dither: bool = True
-    point_skip: int = 1               # keep every k-th point (ref
-                                      # point_skip_divisor, enwide uses 4)
+    point_skip: int = 1               # keep every k-th point AT PACK TIME
+                                      # (subsamples the transfer; thins ALL
+                                      # consumers incl. photometric)
+    # the reference's point_skip_divisor thins only the GEOMETRIC pipeline
+    # (geometric_point_idxs_, manager.cpp:244-335) — photometric sees the
+    # full cloud. geo_skip applies that on-device: every k-th lane feeds
+    # the geometric downsample + map insertion, the image build sees all.
+    geo_skip: int = 1
     # re-run correspondence search at the absorb step (mm-scale pose updates
     # make the loop's correspondences equally valid; a fresh match costs
     # ~3x one relinearization)
@@ -189,15 +206,36 @@ class Sequencer:
                  win_cfg: win.WindowConfig = win.WindowConfig(),
                  map_cfg: vh.VoxelMapConfig = vh.VoxelMapConfig(),
                  geo_cfg: geo.GeometricConfig = geo.GeometricConfig(),
-                 photo_cfg=None, dtype=jnp.float32, init_map=None):
+                 photo_cfg=None, dtype=jnp.float32, init_map=None,
+                 mesh=None):
         self.cfg = seq_cfg
         self.win_cfg = win_cfg
         self.map_cfg = map_cfg
         self.geo_cfg = geo_cfg
         self.photo_cfg = photo_cfg
         self.dtype = dtype
+        # mesh: a ('dp','mp') jax.sharding.Mesh — the sequencer then drives
+        # the mesh-sharded device programs (points over dp, map voxel
+        # blocks over mp, radar targets over dp; parallel/sharded.py) with
+        # the SAME host logic, including multi-process (multi-host) global
+        # meshes where every process replays identical inputs SPMD-style
+        self.mesh = mesh
+        if mesh is not None:
+            from mimosa_tpu.parallel import sharded as par
+            self._linearize_fn, self._map_update_fn = par.sequencer_fns(
+                mesh, map_cfg, geo_cfg)
+            self._par = par
+        else:
+            self._linearize_fn = self._map_update_fn = None
+            self._par = None
         if photo_cfg is not None:
             from mimosa_tpu.lidar import photometric as ph
+            if photo_cfg.exact_ouster and seq_cfg.point_skip != 1:
+                raise ValueError(
+                    "exact_ouster needs the full organized cloud in sensor "
+                    "index order — set point_skip=1 (skip only thins the "
+                    "geometric pipeline in the reference, manager.cpp:"
+                    "244-335; here it would scramble the pixel-id fill)")
             self.features = ph.empty_features(photo_cfg, dtype)
             self._static_mask = ph.load_static_mask(photo_cfg)
         else:
@@ -209,8 +247,12 @@ class Sequencer:
         self.window = win.create(win_cfg, dtype)
         # init_map: start from an existing voxel map (localization against
         # a prior/survey map; pass 2 of the two-pass refinement)
-        self.vmap = vh.create(map_cfg, dtype) if init_map is None \
-            else init_map
+        if init_map is not None:
+            self.vmap = init_map
+        elif mesh is not None:
+            self.vmap = self._par.create_sharded_map(map_cfg, mesh, dtype)
+        else:
+            self.vmap = vh.create(map_cfg, dtype)
         K = win_cfg.K
         self.preints = jax.tree_util.tree_map(
             lambda *xs: jnp.stack(xs),
@@ -247,10 +289,6 @@ class Sequencer:
         self._jit_marginalize = jax.jit(
             functools.partial(_marginalize, win_cfg=win_cfg),
         )
-        self._jit_map_update = jax.jit(
-            functools.partial(_map_update, map_cfg=map_cfg),
-            donate_argnums=(0,),
-        )
         self._jit_declare = jax.jit(
             functools.partial(_declare_step, seq_cfg=seq_cfg,
                               win_cfg=win_cfg))
@@ -270,6 +308,8 @@ class Sequencer:
                 _scan_step, seq_cfg=self.cfg, win_cfg=self.win_cfg,
                 map_cfg=self.map_cfg, geo_cfg=self.geo_cfg,
                 photo_cfg=self.photo_cfg, static_mask=self._static_mask,
+                linearize_fn=self._linearize_fn,
+                map_update_fn=self._map_update_fn,
                 marginalize_first=marginalize_first, append=append))
         return self._step_cache[key]
 
@@ -296,11 +336,18 @@ class Sequencer:
         LidarGeometricDebug / LidarPhotometricDebug messages."""
         return np.asarray(self.debug_rec[: self.scan_idx, :17])
 
+    def imu_localizability_records(self):
+        """Per-scan IMU-factor localizability eigenvalues [n_scans, 9]
+        (rot[3], pos[3], vel[3], each ascending) — the ImuManagerDebug
+        localizability diagnostic (ref imu/manager.cpp:436-482). Zero rows
+        for same-key scans (no new IMU factor)."""
+        return np.asarray(self.debug_rec[: self.scan_idx, 38:47])
+
     def pose_info_records(self):
         """[n_traj, 6, 6] absorbed pose-information matrix per trajectory
         row (zeros for rows declared by radar/odometry/init, which carry
         no scan registration) — the batch smoother's measurement input."""
-        dbg = np.asarray(self.debug_rec[: self.scan_idx, 17:])
+        dbg = np.asarray(self.debug_rec[: self.scan_idx, 17:38])
         out = np.zeros((len(self._traj_ts), 6, 6), dbg.dtype)
         iu = _TRIU6
         for row, sc in enumerate(self._traj_src):
@@ -333,6 +380,13 @@ class Sequencer:
     # (ref include/mimosa/graph/manager.hpp:120-148: getCurrentState,
     # getStateUpto, getPoseAt, getCurrentOptimizedValues), re-expressed on
     # the dense window + trajectory ring.
+    #
+    # THREADING: these queries dispatch a jitted program and read host
+    # mirrors — call them only from the thread that owns the sequencer.
+    # In live deployments use OnlineEstimator.current_state/current_pose,
+    # which snapshot across the worker thread safely; a second thread
+    # dispatching here would also serialize against the relay client with
+    # heavy contention (measured: halved throughput, CLAUDE.md).
 
     def _window_rows(self):
         ex = self._step_cache.get("extract_states")
@@ -361,16 +415,21 @@ class Sequencer:
         return [self._mk_state(self.state_ts[i], rows[i])
                 for i in range(min(self.n_active, len(self.state_ts)))]
 
-    def state_upto(self, ts):
+    def state_upto(self, ts, grace=4e-3):
         """Newest live state with timestamp <= ts (ref getStateUpto,
-        graph/manager.cpp:507 — the deskew-base lookup). None when every
-        active state is newer (the reference returns false)."""
+        graph/manager.cpp:507 — the deskew-base lookup). A ts up to
+        ``grace`` seconds OLDER than the oldest live state still returns
+        that oldest state (the reference tolerates 4 ms and falls back to
+        the first state, graph/manager.cpp:532-541); beyond that, None."""
         if not self.initialized or self.n_active == 0:
             return None
         i = int(np.searchsorted(np.asarray(self.state_ts[:self.n_active]),
                                 ts, side="right")) - 1
         if i < 0:
-            return None
+            if ts >= self.state_ts[0] - grace:
+                i = 0
+            else:
+                return None
         return self._mk_state(self.state_ts[i], self._window_rows()[i])
 
     def pose_at(self, ts, tol=5e-3, interpolate=False):
@@ -393,11 +452,15 @@ class Sequencer:
             if j == 0 or ts_arr[j] == ts:
                 return q[j], p[j]
             i = j - 1
-            a = (ts - ts_arr[i]) / max(ts_arr[j] - ts_arr[i], 1e-12)
-            return (_slerp_np(np.asarray(q[i], np.float64),
-                              np.asarray(q[j], np.float64),
-                              a).astype(q.dtype),
-                    (1.0 - a) * p[i] + a * p[j])
+            # same-key radar/odom appends can interleave rows out of ts
+            # order under transport jitter; an inverted bracket would make
+            # the lerp extrapolate wildly — fall back to nearest-within-tol
+            if ts_arr[i] <= ts <= ts_arr[j]:
+                a = (ts - ts_arr[i]) / max(ts_arr[j] - ts_arr[i], 1e-12)
+                return (_slerp_np(np.asarray(q[i], np.float64),
+                                  np.asarray(q[j], np.float64),
+                                  a).astype(q.dtype),
+                        (1.0 - a) * p[i] + a * p[j])
         k = int(np.argmin(np.abs(ts_arr - ts)))
         if abs(ts_arr[k] - ts) > tol:
             return None
@@ -483,6 +546,8 @@ class Sequencer:
 
         declare = self.imu.count_between(self.last_state_ts, ts) >= \
             self.cfg.min_imu_between_states
+        if declare:
+            self._enforce_lag(ts)
         if declare and self.n_active == self.win_cfg.K:
             self._marginalize_host()
 
@@ -570,11 +635,18 @@ class Sequencer:
             prev["slot"] += 1
         self.counters["radar_ooo_inserted"] += 1
 
+    def _radar_linearize_fn(self, rcfg):
+        """dp-sharded Doppler kernel when a mesh is set, else None."""
+        if self.mesh is None:
+            return None
+        return self._par.radar_linearize_fn(self.mesh, rcfg)
+
     def _get_radar_samekey(self, rcfg):
         key = ("radar_sk",)
         if key not in self._step_cache:
             self._step_cache[key] = jax.jit(functools.partial(
-                _radar_samekey_step, win_cfg=self.win_cfg, radar_cfg=rcfg))
+                _radar_samekey_step, win_cfg=self.win_cfg, radar_cfg=rcfg,
+                linearize_fn=self._radar_linearize_fn(rcfg)))
         return self._step_cache[key]
 
     def _get_radar_ooo(self, rcfg):
@@ -582,7 +654,8 @@ class Sequencer:
         if key not in self._step_cache:
             self._step_cache[key] = jax.jit(functools.partial(
                 _radar_ooo_step, seq_cfg=self.cfg, win_cfg=self.win_cfg,
-                radar_cfg=rcfg))
+                radar_cfg=rcfg,
+                linearize_fn=self._radar_linearize_fn(rcfg)))
         return self._step_cache[key]
 
     # ------------------------------------------------------------- odometry
@@ -615,6 +688,7 @@ class Sequencer:
             declare = self.imu.count_between(self.last_state_ts, ts) >= \
                 self.cfg.min_imu_between_states
             if declare:
+                self._enforce_lag(ts)
                 if self.n_active == self.win_cfg.K:
                     self._marginalize_host()
                 self._declare_plain(ts)
@@ -624,6 +698,8 @@ class Sequencer:
 
         declare = self.imu.count_between(self.last_state_ts, ts) >= \
             self.cfg.min_imu_between_states
+        if declare:
+            self._enforce_lag(ts)
         if declare and self.n_active == self.win_cfg.K:
             self._marginalize_host()
         prev = self._odom_prev  # slots may have shifted in marginalize
@@ -659,6 +735,20 @@ class Sequencer:
         self._traj_src.append(-1)
 
     # --------------------------------------------------------- declare utils
+    def _enforce_lag(self, newest_ts):
+        """Fixed-lag marginalization (ref graph/manager.cpp:399-407): drop
+        live states older than ``newest_ts - lag_secs`` before declaring.
+        The K slots remain the capacity bound — an undersized K still
+        count-marginalizes exactly as before; lag_secs only guarantees the
+        window never covers MORE than lag seconds, matching the reference's
+        time-lag semantics under multi-sensor declare rates."""
+        lag = self.cfg.lag_secs
+        if lag <= 0:
+            return
+        while self.n_active > 2 and self.state_ts and \
+                self.state_ts[0] < newest_ts - lag:
+            self._marginalize_host()
+
     def _marginalize_host(self):
         self.window, self.preints, self.fv = self._jit_marginalize(
             self.window, self.preints, self.fv)
@@ -688,7 +778,8 @@ class Sequencer:
         if key not in self._step_cache:
             self._step_cache[key] = jax.jit(functools.partial(
                 _radar_step, declare=declare, seq_cfg=self.cfg,
-                win_cfg=self.win_cfg, radar_cfg=rcfg))
+                win_cfg=self.win_cfg, radar_cfg=rcfg,
+                linearize_fn=self._radar_linearize_fn(rcfg)))
         return self._step_cache[key]
 
     def _get_odom_step(self, declare, ocfg):
@@ -813,6 +904,8 @@ class Sequencer:
         # the scan program (merge_marginalize — saves one RPC round-trip
         # per scan on dispatch-latency-bound deployments). Same-key
         # attaches to an existing state, so no slot is needed.
+        if not same_key:
+            self._enforce_lag(t_end)
         do_marg = not same_key and self.n_active == self.win_cfg.K
         if do_marg and not self.cfg.merge_marginalize:
             self._marginalize_host()
@@ -983,7 +1076,9 @@ class Sequencer:
         if key not in self._step_cache:
             self._step_cache[key] = jax.jit(functools.partial(
                 _scan_ooo_step, seq_cfg=self.cfg, win_cfg=self.win_cfg,
-                map_cfg=self.map_cfg, geo_cfg=self.geo_cfg))
+                map_cfg=self.map_cfg, geo_cfg=self.geo_cfg,
+                linearize_fn=self._linearize_fn,
+                map_update_fn=self._map_update_fn))
         return self._step_cache[key]
 
     # --------------------------------------------------------------- helpers
@@ -1033,7 +1128,7 @@ class Sequencer:
         if key not in self._step_cache:
             self._step_cache[key] = jax.jit(functools.partial(
                 _init_lidar_step, seq_cfg=self.cfg, win_cfg=self.win_cfg,
-                map_cfg=self.map_cfg))
+                map_cfg=self.map_cfg, map_update_fn=self._map_update_fn))
         (self.window, self.vmap, self.traj_q, self.traj_p,
          self.kf_q, self.kf_p) = self._step_cache[key](
             self.window, self.vmap, self.traj_q, self.traj_p,
@@ -1263,18 +1358,30 @@ def _scan_step(window, vmap, preints, fv, scan_f, pt_valid,
         # collapse approximation)
         slot = scalars[5].astype(jnp.int32)
 
-    # 4) body-frame points + geometric downsample
+    # 4) body-frame points + geometric downsample (geo_skip thins ONLY the
+    # geometric/map consumers — ref point_skip_divisor semantics)
     pts_b = lie.se3_transform(q_bl, t_bl, dsk.points_le)
+    geo_in = pt_valid
+    if seq_cfg.geo_skip > 1:
+        lanes = jnp.arange(pts_b.shape[0], dtype=jnp.int32)
+        geo_in = pt_valid & (lanes % seq_cfg.geo_skip == 0)
     pts_geo, geo_valid, _ = voxel_downsample(
-        pts_b, pt_valid, seq_cfg.geo_leaf, seq_cfg.n_geo_points)
+        pts_b, geo_in, seq_cfg.geo_leaf, seq_cfg.n_geo_points)
 
     # 4b) photometric frame build (once per scan, from deskewed points)
     frame = None
     A_bl = None
     if photo_cfg is not None:
         from mimosa_tpu.lidar import photometric as ph
+        kw = {}
+        if photo_cfg.exact_ouster:
+            # exact Ouster sampling model: raw (pre-deskew) points for the
+            # yaw table + per-point T_Le_Lt for the re-skew lookup; lane
+            # order must be the sensor's pixel-id order (point_skip == 1)
+            kw = dict(points_raw=pts, q_le_lt=dsk.q_le_lt,
+                      t_le_lt=dsk.t_le_lt)
         frame = ph.make_frame(dsk.points_le, intensity, pt_valid,
-                              photo_cfg, static_mask=static_mask)
+                              photo_cfg, static_mask=static_mask, **kw)
         A_bl = lie.pose_tangent_adjoint(q_bl, t_bl)  # body->lidar tangent map
 
     def photo_block(icp_res):
@@ -1511,7 +1618,7 @@ def _scan_step(window, vmap, preints, fv, scan_f, pt_valid,
     q_new, p_new = window.q[slot], window.p[slot]
     if not seq_cfg.freeze_map:
         vmap, kf_q, kf_p, kf_count = _keyframe_map_update(
-            vmap, q_new, p_new, dsk.points_le, pt_valid,
+            vmap, q_new, p_new, dsk.points_le, geo_in,
             kf_q, kf_p, kf_count, scan_idx, map_update_fn, seq_cfg=seq_cfg)
 
     traj_q = traj_q.at[traj_idx].set(q_new)
@@ -1523,7 +1630,17 @@ def _scan_step(window, vmap, preints, fv, scan_f, pt_valid,
     # any degeneracy projection) — the measurement quadratic the batch
     # smoother (graph/refine.py) replays as a unary pose factor
     Hpose = gH if photo_cfg is None else gH + Hb
-    rec = rec.at[17:].set(Hpose[_TRIU6])
+    rec = rec.at[17:38].set(Hpose[_TRIU6])
+    if append:
+        # IMU-factor localizability eigenvalues at the converged states
+        # (ref ImuManagerDebug, imu/manager.cpp:436-482)
+        loc = pre.localizability(
+            seg, window.q[last], window.p[last], window.v[last],
+            window.q[slot], window.p[slot], window.v[slot], bg, ba,
+            window.g_dir, seq_cfg.g_mag)
+        rec = rec.at[38:41].set(loc["eig_rot"])
+        rec = rec.at[41:44].set(loc["eig_pos"])
+        rec = rec.at[44:47].set(loc["eig_vel"])
     rec = rec.at[0].set(icp.num_inlier.astype(d))
     rec = rec.at[1:5].set(icp.status_counts.astype(d))
     rec = rec.at[5].set(icp.mean_abs_res)
@@ -1560,9 +1677,11 @@ def _init_inertial_step(window, traj_q, traj_p, q0, g0, bg, ba, ts,
 
 def _init_lidar_step(window, vmap, traj_q, traj_p, kf_q, kf_p,
                      pts, vd, q0, g0, bg, ba, ts,
-                     *, seq_cfg, win_cfg, map_cfg):
+                     *, seq_cfg, win_cfg, map_cfg, map_update_fn=None):
     """Lidar initialization: state setup + stationary first-scan map seed
-    in one device program (see _init_inertial_step for why)."""
+    in one device program (see _init_inertial_step for why).
+    ``map_update_fn`` defaults to the single-device insert; the mesh-sharded
+    sequencer passes the sharded variant."""
     d = window.p.dtype
     window, traj_q, traj_p = _init_inertial_step(
         window, traj_q, traj_p, q0, g0, bg, ba, ts, win_cfg=win_cfg)
@@ -1576,8 +1695,12 @@ def _init_lidar_step(window, vmap, traj_q, traj_p, kf_q, kf_p,
         ds, ds_valid, _ = voxel_downsample(pts_w, vd,
                                            seq_cfg.map_insert_leaf,
                                            seq_cfg.n_map_points)
-        vmap = _map_update(vmap, ds, ds_valid, jnp.asarray(0, jnp.int32),
-                           map_cfg=map_cfg)
+        if map_update_fn is None:
+            vmap = _map_update(vmap, ds, ds_valid,
+                               jnp.asarray(0, jnp.int32), map_cfg=map_cfg)
+        else:
+            vmap = map_update_fn(vmap, ds, ds_valid,
+                                 jnp.asarray(0, jnp.int32))
     return window, vmap, traj_q, traj_p, kf_q, kf_p
 
 
@@ -1641,7 +1764,8 @@ def _insert_preint_segments(preints, fv, pos, seg_a, seg_b):
 
 def _scan_ooo_step(window, vmap, preints, fv, scan_f, pt_valid, imu_a,
                    imu_b, scalars, debug_rec, kf_q, kf_p, kf_count,
-                   *, seq_cfg, win_cfg, map_cfg, geo_cfg):
+                   *, seq_cfg, win_cfg, map_cfg, geo_cfg,
+                   linearize_fn=None, map_update_fn=None):
     """Out-of-order scan declare+define: insert a state at ``pos``
     (traced), re-integrate the two surrounding IMU segments (the TPU
     redesign of the reference's IMU-factor breaking,
@@ -1693,10 +1817,22 @@ def _scan_ooo_step(window, vmap, preints, fv, scan_f, pt_valid, imu_a,
     slot = pos
 
     pts_b = lie.se3_transform(q_bl, t_bl, dsk.points_le)
+    geo_in = pt_valid
+    if seq_cfg.geo_skip > 1:
+        lanes = jnp.arange(pts_b.shape[0], dtype=jnp.int32)
+        geo_in = pt_valid & (lanes % seq_cfg.geo_skip == 0)
     pts_geo, geo_valid, _ = voxel_downsample(
-        pts_b, pt_valid, seq_cfg.geo_leaf, seq_cfg.n_geo_points)
-    matches = geo.match(vmap, pts_geo, window.q[slot], window.p[slot],
-                        map_cfg)
+        pts_b, geo_in, seq_cfg.geo_leaf, seq_cfg.n_geo_points)
+    if linearize_fn is None:
+        matches = geo.match(vmap, pts_geo, window.q[slot], window.p[slot],
+                            map_cfg)
+
+        def lin_iter(q_, t_, g_):
+            return geo.linearize_with(matches, pts_geo, geo_valid, q_, t_,
+                                      geo_cfg, g_dir=g_)
+    else:
+        def lin_iter(q_, t_, g_):
+            return linearize_fn(vmap, pts_geo, geo_valid, q_, t_, g_)
     imu_cache = win.imu_factor_cache(window, preints, win_cfg)
 
     def geo_meas(icp_):
@@ -1708,17 +1844,14 @@ def _scan_ooo_step(window, vmap, preints, fv, scan_f, pt_valid, imu_a,
 
     icp = None
     for _ in range(seq_cfg.n_gn_iters):
-        icp = geo.linearize_with(matches, pts_geo, geo_valid,
-                                 window.q[slot], window.p[slot], geo_cfg,
-                                 g_dir=window.g_dir)
+        icp = lin_iter(window.q[slot], window.p[slot], window.g_dir)
         H, rhs = win.build_system(window, preints, fv, win_cfg,
                                   meas=[(win.pose_idx(slot),
                                          *geo_meas(icp))],
                                   imu_cache=imu_cache)
         dx = win.solve(H, rhs)
         window = win.apply_update(window, dx, win_cfg)
-    icp = geo.linearize_with(matches, pts_geo, geo_valid, window.q[slot],
-                             window.p[slot], geo_cfg, g_dir=window.g_dir)
+    icp = lin_iter(window.q[slot], window.p[slot], window.g_dir)
     window = win.rebase_prior(window, win_cfg)
     gH, gb = geo_meas(icp)
     window = win.add_measurement_block(window, win.pose_idx(slot), gH,
@@ -1728,15 +1861,16 @@ def _scan_ooo_step(window, vmap, preints, fv, scan_f, pt_valid, imu_a,
     # as the main path (ref geometric.cpp:440-478); an OOO scan seen from
     # a new viewpoint still extends the map (skipped in localization mode)
     if not seq_cfg.freeze_map:
-        def ooo_map_update(vmap_, pts_, valid_, idx_):
-            vmap2, slots = vh.insert(vmap_, pts_, valid_, idx_, map_cfg,
-                                     return_slots=True)
-            vmap2 = vh.evict_stale(vmap2, idx_, map_cfg)
-            return vh.update_planes_at(vmap2, slots, map_cfg)
+        if map_update_fn is None:
+            def map_update_fn(vmap_, pts_, valid_, idx_):
+                vmap2, slots = vh.insert(vmap_, pts_, valid_, idx_, map_cfg,
+                                         return_slots=True)
+                vmap2 = vh.evict_stale(vmap2, idx_, map_cfg)
+                return vh.update_planes_at(vmap2, slots, map_cfg)
 
         vmap, kf_q, kf_p, kf_count = _keyframe_map_update(
-            vmap, window.q[slot], window.p[slot], dsk.points_le, pt_valid,
-            kf_q, kf_p, kf_count, scan_idx, ooo_map_update,
+            vmap, window.q[slot], window.p[slot], dsk.points_le, geo_in,
+            kf_q, kf_p, kf_count, scan_idx, map_update_fn,
             seq_cfg=seq_cfg)
 
     rec = jnp.zeros(DBG_W, d).at[0].set(icp.num_inlier.astype(d))
@@ -1747,7 +1881,7 @@ def _scan_ooo_step(window, vmap, preints, fv, scan_f, pt_valid, imu_a,
 def _radar_ooo_step(window, preints, fv, accs_a, gyros_a, dts_a, valid_a,
                     accs_b, gyros_b, dts_b, valid_b, pos,
                     pts_r, doppler, snr_db, omega, *, seq_cfg, win_cfg,
-                    radar_cfg):
+                    radar_cfg, linearize_fn=None):
     """Out-of-order radar declare: insert a state at ``pos`` (traced),
     re-integrate the two surrounding IMU segments, then GN with the Doppler
     factor on the inserted slot."""
@@ -1765,25 +1899,30 @@ def _radar_ooo_step(window, preints, fv, accs_a, gyros_a, dts_a, valid_a,
                                  win_cfg)
     preints, fv = _insert_preint_segments(preints, fv, pos, seg_a, seg_b)
     return _radar_gn(window, preints, fv, pos, pts_r, doppler, snr_db,
-                     omega, win_cfg=win_cfg, radar_cfg=radar_cfg)
+                     omega, win_cfg=win_cfg, radar_cfg=radar_cfg,
+                     linearize_fn=linearize_fn)
 
 
 def _radar_gn(window, preints, fv, slot, pts_r, doppler, snr_db, omega,
-              *, win_cfg, radar_cfg):
+              *, win_cfg, radar_cfg, linearize_fn=None):
     from mimosa_tpu.radar import factor as rad
+
+    if linearize_fn is None:
+        def linearize_fn(q_, v_, bg_, om_, d_, dop_, vd_):
+            return rad.linearize(q_, v_, bg_, om_, d_, dop_, vd_, radar_cfg)
 
     dirs, _, valid = rad.filter_targets(pts_r, snr_db, radar_cfg)
     res = None
     for _ in range(2):
-        res = rad.linearize(window.q[slot], window.v[slot], window.bg[slot],
-                            omega, dirs, doppler, valid, radar_cfg)
+        res = linearize_fn(window.q[slot], window.v[slot], window.bg[slot],
+                           omega, dirs, doppler, valid)
         H, rhs = win.build_system(window, preints, fv, win_cfg,
                                   meas=[(win.rot_vel_bg_idx(slot), res.H,
                                          res.b)])
         dx = win.solve(H, rhs)
         window = win.apply_update(window, dx, win_cfg)
-    res = rad.linearize(window.q[slot], window.v[slot], window.bg[slot],
-                        omega, dirs, doppler, valid, radar_cfg)
+    res = linearize_fn(window.q[slot], window.v[slot], window.bg[slot],
+                       omega, dirs, doppler, valid)
     window = win.rebase_prior(window, win_cfg)
     window = win.add_measurement_block(window, win.rot_vel_bg_idx(slot),
                                        res.H, res.b, win_cfg)
@@ -1792,18 +1931,27 @@ def _radar_gn(window, preints, fv, slot, pts_r, doppler, snr_db, omega,
 
 
 def _radar_samekey_step(window, preints, fv, slot, pts_r, doppler, snr_db,
-                        omega, *, win_cfg, radar_cfg):
+                        omega, *, win_cfg, radar_cfg, linearize_fn=None):
     """Attach a Doppler factor to an existing state (SUCCESS_SAME_KEY)."""
     return _radar_gn(window, preints, fv, slot, pts_r, doppler, snr_db,
-                     omega, win_cfg=win_cfg, radar_cfg=radar_cfg)
+                     omega, win_cfg=win_cfg, radar_cfg=radar_cfg,
+                     linearize_fn=linearize_fn)
 
 
 def _radar_step(window, preints, fv, accs, gyros, dts, seg_valid, n_active,
                 pts_r, doppler, snr_db, omega, *, declare, seq_cfg, win_cfg,
-                radar_cfg):
+                radar_cfg, linearize_fn=None):
     """One-step Doppler factor: optional declare + GN with the radar block
-    (ref radar one-step-factor pattern, src/radar/manager.cpp:83-92)."""
+    (ref radar one-step-factor pattern, src/radar/manager.cpp:83-92).
+
+    ``linearize_fn(q, v, bg, omega, dirs, doppler, valid) -> DopplerResult``
+    defaults to the single-device kernel; the parallel module swaps in the
+    dp-sharded variant (parallel/sharded.py sharded_radar_linearize)."""
     from mimosa_tpu.radar import factor as rad
+
+    if linearize_fn is None:
+        def linearize_fn(q_, v_, bg_, om_, d_, dop_, vd_):
+            return rad.linearize(q_, v_, bg_, om_, d_, dop_, vd_, radar_cfg)
 
     if declare:
         window, preints, fv, slot = _declare_core(
@@ -1815,15 +1963,15 @@ def _radar_step(window, preints, fv, accs, gyros, dts, seg_valid, n_active,
     dirs, _, valid = rad.filter_targets(pts_r, snr_db, radar_cfg)
     res = None
     for _ in range(2):
-        res = rad.linearize(window.q[slot], window.v[slot], window.bg[slot],
-                            omega, dirs, doppler, valid, radar_cfg)
+        res = linearize_fn(window.q[slot], window.v[slot], window.bg[slot],
+                           omega, dirs, doppler, valid)
         H, rhs = win.build_system(window, preints, fv, win_cfg,
                                   meas=[(win.rot_vel_bg_idx(slot), res.H,
                                          res.b)])
         dx = win.solve(H, rhs)
         window = win.apply_update(window, dx, win_cfg)
-    res = rad.linearize(window.q[slot], window.v[slot], window.bg[slot],
-                        omega, dirs, doppler, valid, radar_cfg)
+    res = linearize_fn(window.q[slot], window.v[slot], window.bg[slot],
+                       omega, dirs, doppler, valid)
     window = win.rebase_prior(window, win_cfg)
     window = win.add_measurement_block(window, win.rot_vel_bg_idx(slot),
                                        res.H, res.b, win_cfg)

@@ -141,8 +141,11 @@ def replay_bag(bag_path, config_path, imu_topic, lidar_topic,
         range_max=float(lidar_mgr.get("range_max", 100.0)),
         intensity_min=float(lidar_mgr.get("intensity_min", 0.0)),
         intensity_max=float(lidar_mgr.get("intensity_max", 1e10)),
-        point_skip=int(raw_cfg.get("lidar", {}).get("geometric", {})
-                       .get("point_skip_divisor", 1)),
+        # point_skip_divisor is applied ON DEVICE to the geometric pipeline
+        # only (SequencerConfig.geo_skip, set by the loader) — the
+        # reference's photometric module sees the full cloud
+        # (manager.cpp:244-335 thins geometric_point_idxs_ only)
+        point_skip=1,
         ring_skip=int(raw_cfg.get("lidar", {}).get("geometric", {})
                       .get("ring_skip_divisor", 1)),
     )
@@ -151,6 +154,15 @@ def replay_bag(bag_path, config_path, imu_topic, lidar_topic,
     # divisor in arrival order would drop whole rings — reorganize by ring
     # (native counting sort) and skip in ring-major order instead
     organize = bool(lidar_mgr.get("organize_pointcloud_by_ring", False))
+    skip_div = int(raw_cfg.get("lidar", {}).get("geometric", {})
+                   .get("point_skip_divisor", 1))
+    if organize and cs.sequencer.geo_skip > 1:
+        # ring-organized clouds are thinned HOST-side in ring-major order
+        # (arrival-order modulo would drop whole rings, ref manager.cpp:
+        # 205-242) — disable the device-side modulo to avoid double skip
+        import dataclasses as _dc
+        cs = _dc.replace(cs, sequencer=_dc.replace(cs.sequencer,
+                                                   geo_skip=1))
     use_refl = bool(lidar_mgr.get("use_reflectivity_as_intensity", False))
     sq_range = bool(lidar_mgr.get("scale_intensity_by_sq_range", False))
 
@@ -216,7 +228,7 @@ def replay_bag(bag_path, config_path, imu_topic, lidar_topic,
                 ok = pc2.point_filters(d["points"], d["intensity"],
                                        d["ring"],
                                        **{**filters, "point_skip": 1})
-                skip = filters["point_skip"]
+                skip = skip_div
                 if skip > 1 and len(d["ring"]):
                     n_rings = max(int(d["ring"].max()) + 1, 1)
                     order = native.ring_sort(d["ring"], n_rings)

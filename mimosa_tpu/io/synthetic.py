@@ -34,7 +34,11 @@ def _on_cpu(fn):
     @functools.wraps(fn)
     def wrapped(*a, **k):
         try:
-            cpu = jax.devices("cpu")[0]
+            # local_devices, not devices: under a multi-process mesh
+            # (jax.distributed) the global device list starts with process
+            # 0's devices — pinning generation there from another process
+            # closes jit constants over non-addressable arrays and aborts
+            cpu = jax.local_devices(backend="cpu")[0]
         except RuntimeError:
             return fn(*a, **k)
         with jax.default_device(cpu):
@@ -249,6 +253,79 @@ def generate(world, tc: TrajectoryConfig, lm: LidarModel,
         gt=dict(ts=np.asarray(gt_ts), pos=np.asarray(gt_p),
                 quat=np.asarray(gt_q)),
     )
+
+
+@_on_cpu
+def generate_ouster(world, tc: TrajectoryConfig, beam_altitudes,
+                    pixel_shift_by_row, n_cols=256, period=0.1,
+                    max_range=60.0, imu_rate=200, seed=0,
+                    imu_noise=0.0, range_noise=0.0, tex_amp=110.0):
+    """Staggered Ouster-format scans: points in sensor pixel-id order
+    (row-major, staggered column fastest), measurement block c fired at
+    ts_header + c/cols*period, per-row destagger shifts — the raw layout
+    the reference's PBID fill + yaw table consume (photometric.cpp:72-243).
+    Row v of block c samples the azimuth of destaggered column
+    (c + shift[v]) % cols. Returns the same structure as :func:`generate`
+    plus per-scan ``ring``; points are the sensor-frame returns AT FIRING
+    TIME (motion-skewed)."""
+    rng_np = np.random.default_rng(seed)
+    traj = make_trajectory(tc)
+    rows = len(beam_altitudes)
+    alt = np.asarray(beam_altitudes)
+    shifts = np.asarray(pixel_shift_by_row, int)
+
+    imu_ts = np.arange(0.0, tc.t_total, 1.0 / imu_rate)
+    f_imu = jax.jit(jax.vmap(lambda t: traj["imu"](t)))
+    accs, gyros = f_imu(jnp.asarray(imu_ts))
+    accs = np.asarray(accs) + rng_np.normal(size=(len(imu_ts), 3)) \
+        * imu_noise
+    gyros = np.asarray(gyros) + rng_np.normal(size=(len(imu_ts), 3)) \
+        * imu_noise * 0.1
+
+    v, c = np.meshgrid(np.arange(rows), np.arange(n_cols), indexing="ij")
+    u_dest = (c + shifts[:, None]) % n_cols
+    az_s = np.pi * (1.0 - 2.0 * u_dest / n_cols)   # sensor-frame azimuth
+    t_rel = (c / n_cols * period).reshape(-1)
+    ca, sa = np.cos(az_s), np.sin(az_s)
+    cal = np.cos(alt)[:, None] * np.ones_like(ca)
+    sal = np.sin(alt)[:, None] * np.ones_like(ca)
+    dirs = np.stack([cal * ca, cal * sa, sal], -1).reshape(-1, 3)
+    ring = v.reshape(-1).astype(np.uint16)
+    block = c.reshape(-1)
+
+    f_pose = jax.jit(jax.vmap(lambda t: (traj["quat"](t), traj["pos"](t))))
+    scans, gt_ts, gt_p, gt_q = [], [], [], []
+    scan_starts = np.arange(tc.t_stationary - 0.2, tc.t_total - period,
+                            period)
+    for ts0 in scan_starts:
+        col_ts = ts0 + np.arange(n_cols) / n_cols * period
+        qs, ps = f_pose(jnp.asarray(col_ts))
+        Rb = np.asarray(lie.quat_to_mat(jnp.asarray(qs)))[block]
+        o = np.asarray(ps)[block]
+        d_world = np.einsum("nij,nj->ni", Rb, dirs)
+        rr = raycast(world, o, d_world, max_range)
+        if range_noise:
+            rr = rr + rng_np.normal(size=rr.shape) * range_noise
+        valid = np.isfinite(rr)
+        pts = dirs * np.where(valid, rr, 0.0)[:, None]
+        hit_w = o + d_world * np.where(valid, rr, 0.0)[:, None]
+        inten = np.where(
+            valid,
+            130.0 + tex_amp * np.sin(1.3 * hit_w[:, 0])
+            * np.cos(0.9 * hit_w[:, 1])
+            + 0.6 * tex_amp * np.sin(1.7 * hit_w[:, 2]), 0.0)
+        scans.append(dict(ts_header=ts0, points=pts.astype(np.float32),
+                          t_rel=t_rel.copy(), valid=valid, ring=ring,
+                          intensity=np.clip(inten, 0, 255).astype(
+                              np.float32)))
+        t_end = ts0 + t_rel.max()
+        qe, pe = f_pose(jnp.asarray([t_end]))
+        gt_ts.append(t_end)
+        gt_p.append(np.asarray(pe[0]))
+        gt_q.append(np.asarray(qe[0]))
+    return dict(imu=dict(ts=imu_ts, acc=accs, gyro=gyros), scans=scans,
+                gt=dict(ts=np.asarray(gt_ts), pos=np.asarray(gt_p),
+                        quat=np.asarray(gt_q)))
 
 
 @_on_cpu

@@ -108,6 +108,20 @@ class PhotometricConfig:
     # (photometric.cpp:660-682, getGradientBasedLocations)
     patch_offsets: tuple = ()
     rotate_patch: bool = False
+    # ---- exact Ouster sampling model (ref photometric.cpp:72-198 +
+    # photometric_utils.cpp:38-366), behind a flag: the image is filled by
+    # the sensor's pixel index (destagger shift addressing), a per-row yaw
+    # table of the RAW (pre-deskew) sampling azimuths is built with hole
+    # interpolation, projection inverts that table for sub-pixel column
+    # accuracy, and patch samples are re-skewed to the matched pixel's
+    # sampling time via its per-point T_Le_Lt before sampling
+    # (projectUndistorted). The approximate model (flag off) projects
+    # deskewed points with the ideal azimuth model — fine at low spin
+    # rates, it loses sub-pixel registration when the yaw motion within a
+    # scan compresses/stretches the sampled azimuth grid.
+    exact_ouster: bool = False
+    pixel_shift_by_row: tuple = ()    # Ouster metadata JSON per-row shift
+    beam_offset_m: float = 0.0        # ref lidar_origin_to_beam_origin [m]
 
 
 # default FIRs from the reference config (enwide params.yaml high/low pass)
@@ -134,13 +148,25 @@ def altitudes(cfg: PhotometricConfig):
 
 
 class Frame(NamedTuple):
-    """Per-scan image pyramid (ref photometric_utils.hpp:45-87 Frame)."""
+    """Per-scan image pyramid (ref photometric_utils.hpp:45-87 Frame).
+
+    The exact-Ouster fields (None in the approximate model) carry the
+    per-row yaw table and the per-pixel re-skew transforms that implement
+    the reference's projectUndistorted sampling."""
 
     intensity: jnp.ndarray   # [R,C] normalized
     rng: jnp.ndarray         # [R,C] range image (0 where empty)
     mask: jnp.ndarray        # [R,C] bool: valid & eroded
     gx: jnp.ndarray          # [R,C] Sobel
     gy: jnp.ndarray
+    yaw: jnp.ndarray = None      # [R,C] raw sampling azimuths (exact mode)
+    p_img: jnp.ndarray = None    # [R,C,3] deskewed Le point per pixel
+    q_rs: jnp.ndarray = None     # [R,C,4] T_Le_Lt rotation per pixel
+    t_rs: jnp.ndarray = None     # [R,C,3] T_Le_Lt translation per pixel
+    rs_ok: jnp.ndarray = None    # [R,C] bool: re-skew pixel filled
+    col_q: jnp.ndarray = None    # [C,4] column-fallback rotation
+    col_t: jnp.ndarray = None    # [C,3]
+    col_ok: jnp.ndarray = None   # [C] bool
 
 
 # ---------------------------------------------------------------------------
@@ -181,6 +207,135 @@ def backproject(u, v, rng, cfg: PhotometricConfig):
     ca = jnp.cos(alt)
     return jnp.stack([rng * ca * jnp.cos(az), rng * ca * jnp.sin(az),
                       rng * jnp.sin(alt)], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# exact Ouster sampling model (flagged; ref photometric.cpp:72-198,
+# photometric_utils.cpp:38-183,287-366)
+# ---------------------------------------------------------------------------
+
+def destagger_flat_map(cfg: PhotometricConfig):
+    """idx -> flat destaggered pixel map [R*C] (ref getIdxToPixelMap,
+    photometric.cpp:72-90: staggered column c maps to image column
+    (c + pixel_shift_by_row[v]) mod cols)."""
+    shift = np.asarray(cfg.pixel_shift_by_row or (0,) * cfg.rows, np.int64)
+    c = np.arange(cfg.cols)[None, :]
+    u = (c + shift[:, None]) % cfg.cols
+    flat = np.arange(cfg.rows)[:, None] * cfg.cols + u
+    return jnp.asarray(flat.reshape(-1), jnp.int32)
+
+
+def fill_row_holes(vals, filled, cfg: PhotometricConfig,
+                   left_anchor=np.pi, right_anchor=-np.pi):
+    """Per-row linear interpolation of invalid pixels between the nearest
+    valid columns, anchored at +pi (col 0) / -pi (last col) — the yaw-table
+    hole interpolation of photometric.cpp:116-198, vectorized."""
+    R, C = vals.shape
+    dtype = vals.dtype
+    cols_i = jnp.arange(C, dtype=jnp.int32)[None, :]
+    li = jax.lax.cummax(jnp.where(filled, cols_i, -1), axis=1)
+    ri_rev = jax.lax.cummax(
+        jnp.where(filled, C - 1 - cols_i, -1)[:, ::-1], axis=1)[:, ::-1]
+    ri = C - 1 - ri_rev
+    lv = jnp.take_along_axis(vals, jnp.clip(li, 0, C - 1), axis=1)
+    rv = jnp.take_along_axis(vals, jnp.clip(ri, 0, C - 1), axis=1)
+    lv = jnp.where(li >= 0, lv, jnp.asarray(left_anchor, dtype))
+    rv = jnp.where(ri <= C - 1, rv, jnp.asarray(right_anchor, dtype))
+    lpos = jnp.where(li >= 0, li, 0).astype(dtype)
+    rpos = jnp.where(ri <= C - 1, ri, C - 1).astype(dtype)
+    t = (cols_i.astype(dtype) - lpos) / jnp.maximum(rpos - lpos, 1.0)
+    return jnp.where(filled, vals, lv + t * (rv - lv))
+
+
+def _spherical(points, cfg: PhotometricConfig):
+    """(phi azimuth, theta altitude w/ beam-origin offset, range) —
+    the reference's projection geometry (photometric_utils.cpp:40-43)."""
+    x, y, z = points[..., 0], points[..., 1], points[..., 2]
+    rxy = jnp.sqrt(x * x + y * y + 1e-12)
+    L = rxy - cfg.beam_offset_m
+    R = jnp.sqrt(L * L + z * z + 1e-12)
+    phi = jnp.arctan2(y, x)
+    theta = jnp.arcsin(jnp.clip(z / R, -1.0, 1.0))
+    rng = jnp.sqrt(x * x + y * y + z * z + 1e-12)
+    return phi, theta, rng
+
+
+def _row_of(theta, table, rows):
+    """Fractional row from the (monotonic) beam altitude table + in-bounds
+    flag (sub-pixel row interpolation, photometric_utils.cpp:73-79)."""
+    descending = table[0] > table[-1]
+    t = jnp.where(descending, -table, table)
+    a = jnp.where(descending, -theta, theta)
+    i = jnp.clip(jnp.searchsorted(t, a) - 1, 0, rows - 2)
+    t0, t1 = t[i], t[i + 1]
+    frac = jnp.clip((a - t0) / jnp.maximum(t1 - t0, 1e-9), 0.0, 1.0)
+    return i + frac, (a >= t[0]) & (a <= t[-1])
+
+
+_YAW_WIN = 5   # ref: binary search window +-5 cols around the ideal guess
+
+
+def project_yaw(points, yaw, cfg: PhotometricConfig):
+    """Exact projection through the per-row yaw table
+    (ref photometric_utils.cpp:81-183): ideal azimuth gives the column
+    guess, then the bracketing pair of actual sampling azimuths within
+    +-5 columns gives the sub-pixel column. Returns (u row, v col, rng,
+    ok) for points [N,3]."""
+    dtype = points.dtype
+    phi, theta, rng = _spherical(points, cfg)
+    table = altitudes(cfg).astype(dtype)
+    u, in_alt = _row_of(theta, table, cfg.rows)
+
+    v0 = -cfg.cols / (2.0 * jnp.pi) * phi + 0.5 * cfg.cols   # fx*phi + cx
+    safety = (v0 >= _YAW_WIN) & (v0 <= cfg.cols - _YAW_WIN)
+    ri = jnp.clip(jnp.round(u).astype(jnp.int32), 0, cfg.rows - 1)
+    base = jnp.clip(jnp.round(v0).astype(jnp.int32), _YAW_WIN,
+                    cfg.cols - _YAW_WIN - 1)
+    offs = jnp.arange(-_YAW_WIN, _YAW_WIN + 1, dtype=jnp.int32)
+    yw = yaw[ri[..., None], base[..., None] + offs]          # [N, 11]
+    phe = phi[..., None]
+    # yaw descends along columns: find the bracketing adjacent pair
+    br = (yw[..., :-1] >= phe) & (yw[..., 1:] <= phe)
+    found = jnp.any(br, axis=-1)
+    kb = jnp.argmax(br, axis=-1)
+    # fallback: extrapolate from the nearest pair (the reference's
+    # interpolation between the two closest values)
+    kn = jnp.clip(jnp.argmin(jnp.abs(yw - phe), axis=-1), 0,
+                  2 * _YAW_WIN - 1)
+    k = jnp.where(found, kb, kn)
+    yl = jnp.take_along_axis(yw, k[..., None], axis=-1)[..., 0]
+    yr = jnp.take_along_axis(yw, k[..., None] + 1, axis=-1)[..., 0]
+    v = (base - _YAW_WIN + k).astype(dtype) + \
+        (yl - phi) / jnp.where(jnp.abs(yl - yr) > 1e-12, yl - yr, 1e-12)
+    ok = in_alt & safety & (v >= 0) & (v <= cfg.cols - 1) & \
+        jnp.isfinite(v)
+    return u, v, rng, ok
+
+
+def reskew_lookup(frame: Frame, u, v):
+    """Per-pixel T_Le_Lt at rounded (u,v), with the reference's
+    search-down-the-column fallback when the pixel itself holds no
+    deskewed point (photometric_utils.cpp:306-333). Returns (q, t, ok)."""
+    R, C = frame.rng.shape
+    ui = jnp.clip(jnp.round(u).astype(jnp.int32), 0, R - 1)
+    vi = jnp.clip(jnp.round(v).astype(jnp.int32), 0, C - 1)
+    hit = frame.rs_ok[ui, vi]
+    q = jnp.where(hit[..., None], frame.q_rs[ui, vi], frame.col_q[vi])
+    t = jnp.where(hit[..., None], frame.t_rs[ui, vi], frame.col_t[vi])
+    return q, t, hit | frame.col_ok[vi]
+
+
+def project_undistorted(frame: Frame, pts_le, cfg: PhotometricConfig):
+    """The reference's projectUndistorted (photometric_utils.cpp:287-366):
+    project into the scan-end image via the yaw table, look up the matched
+    pixel's sampling-time transform, re-skew the point to that time, and
+    project again. Returns (u, v, rng, ok) of the re-skewed point."""
+    u1, v1, _, ok1 = project_yaw(pts_le, frame.yaw, cfg)
+    q, t, okT = reskew_lookup(frame, u1, v1)
+    # T_Le_Lt maps Lt -> Le; distort back: p_t = R(q)^T (p_le - t)
+    p_t = lie.quat_rotate(lie.quat_conj(q), pts_le - t)
+    u, v, rng, ok2 = project_yaw(p_t, frame.yaw, cfg)
+    return u, v, rng, ok1 & okT & ok2
 
 
 # ---------------------------------------------------------------------------
@@ -292,9 +447,7 @@ def load_static_mask(cfg: PhotometricConfig):
     return m.astype(bool)
 
 
-def make_frame(points_le, intensity, valid, cfg: PhotometricConfig,
-               static_mask=None) -> Frame:
-    iimg, rimg = build_images(points_le, intensity, valid, cfg)
+def _finish_frame(iimg, rimg, cfg, static_mask):
     vmask = rimg > 0
     inorm = normalize_intensity(iimg, vmask, cfg)
     gx, gy = sobel(inorm, cfg.grad_kernel)
@@ -304,7 +457,90 @@ def make_frame(points_le, intensity, valid, cfg: PhotometricConfig,
         vmask = vmask & static_mask
     k = (cfg.patch_size // 2) + max(cfg.erosion_buffer // 4, 1)
     mask = erode(vmask, k)
-    return Frame(inorm, rimg, mask, gx, gy)
+    return inorm, mask, gx, gy
+
+
+def make_frame(points_le, intensity, valid, cfg: PhotometricConfig,
+               static_mask=None, points_raw=None, q_le_lt=None,
+               t_le_lt=None) -> Frame:
+    """Per-scan frame. Approximate model: images scattered at the ideal
+    projection of the deskewed points. With ``cfg.exact_ouster`` (needs
+    ``points_raw`` = the pre-deskew lidar-frame points in sensor index
+    order, plus the deskew's per-point T_Le_Lt): PBID index-addressed
+    fill + yaw table + re-skew lookup images (ref photometric.cpp
+    preprocess)."""
+    if not cfg.exact_ouster:
+        iimg, rimg = build_images(points_le, intensity, valid, cfg)
+        inorm, mask, gx, gy = _finish_frame(iimg, rimg, cfg, static_mask)
+        return Frame(inorm, rimg, mask, gx, gy)
+
+    assert points_raw is not None and q_le_lt is not None \
+        and t_le_lt is not None, \
+        "exact_ouster needs points_raw + per-point T_Le_Lt from deskew"
+    dtype = points_le.dtype
+    R, C = cfg.rows, cfg.cols
+    n = points_le.shape[0]
+    npx = R * C
+    # the lane index IS the sensor pixel id (organized row-major staggered
+    # cloud — ref lidar::Manager fills Point.idx the same way); lanes past
+    # the image (padding) go to the dump pixel
+    idx = jnp.arange(n, dtype=jnp.int32)
+    dmap = destagger_flat_map(cfg)
+    flat_all = jnp.where((idx < npx) & valid,
+                         dmap[jnp.minimum(idx, npx - 1)], npx)
+    rng_raw = jnp.linalg.norm(jnp.where(valid[:, None], points_raw, 1.0),
+                              axis=-1)
+    in_rng = (rng_raw >= cfg.range_min) & (rng_raw <= cfg.range_max)
+    flat = jnp.where(in_rng, flat_all, npx)
+    iimg = jnp.zeros(npx + 1, dtype).at[flat].set(intensity)[:-1]
+    rimg = jnp.zeros(npx + 1, dtype).at[flat].set(rng_raw)[:-1]
+    p_img = jnp.zeros((npx + 1, 3), dtype).at[flat].set(points_le)[:-1]
+    iimg = iimg.reshape(R, C)
+    rimg = rimg.reshape(R, C)
+    p_img = p_img.reshape(R, C, 3)
+
+    # yaw table from ALL raw points (no range gate — ref photometric.cpp
+    # :119-130 iterates points_raw unconditionally), holes interpolated
+    az = jnp.arctan2(points_raw[..., 1], points_raw[..., 0])
+    yaw_img = jnp.zeros(npx + 1, dtype).at[flat_all].set(az)[:-1]
+    yfill = jnp.zeros(npx + 1, bool).at[flat_all].set(True)[:-1]
+    yaw = fill_row_holes(yaw_img.reshape(R, C), yfill.reshape(R, C), cfg)
+
+    inorm, mask, gx, gy = _finish_frame(iimg, rimg, cfg, static_mask)
+
+    # re-skew lookup: scatter each deskewed point's T_Le_Lt at its
+    # scan-end projection pixel (the reference's proj_idx buckets,
+    # photometric.cpp:231-243; the min-range claim replaces the
+    # nearest-of-10 tie-break — front surface wins)
+    uk, vk, _, okp = project_yaw(points_le, yaw, cfg)
+    uki = jnp.clip(jnp.round(uk).astype(jnp.int32), 0, R - 1)
+    vki = jnp.clip(jnp.round(vk).astype(jnp.int32), 0, C - 1)
+    okk = in_rng & okp & valid & (idx < npx)
+    flat_k = jnp.where(okk, uki * C + vki, npx)
+    big = jnp.asarray(jnp.finfo(dtype).max, dtype)
+    rmin = jnp.full(npx + 1, big, dtype).at[flat_k].min(
+        jnp.where(okk, rng_raw, big))
+    win = okk & (rmin[flat_k] == rng_raw)
+    claims = jnp.full(npx + 1, n, jnp.int32).at[
+        jnp.where(win, flat_k, npx)].min(idx)
+    winner = win & (claims[flat_k] == idx)
+    wtgt = jnp.where(winner, flat_k, npx)
+    q_id = jnp.zeros((npx + 1, 4), dtype).at[:, 0].set(1.0)
+    q_rs = q_id.at[wtgt].set(q_le_lt)[:-1].reshape(R, C, 4)
+    t_rs = jnp.zeros((npx + 1, 3), dtype).at[wtgt].set(
+        t_le_lt)[:-1].reshape(R, C, 3)
+    rs_ok = jnp.zeros(npx + 1, bool).at[wtgt].set(True)[:-1].reshape(R, C)
+
+    # column fallback (ref photometric_utils.cpp:306-318: any point in the
+    # same column was sampled at ~the same time)
+    frow = jnp.argmax(rs_ok, axis=0)
+    cidx = jnp.arange(C)
+    col_ok = jnp.any(rs_ok, axis=0)
+    col_q = q_rs[frow, cidx]
+    col_t = t_rs[frow, cidx]
+    return Frame(inorm, rimg, mask, gx, gy, yaw=yaw, p_img=p_img,
+                 q_rs=q_rs, t_rs=t_rs, rs_ok=rs_ok,
+                 col_q=col_q, col_t=col_t, col_ok=col_ok)
 
 
 # ---------------------------------------------------------------------------
@@ -440,7 +676,10 @@ def detect_features(frame: Frame, feats: Features, q_wl, t_wl,
     # pixel of each valid feature, dilate by the suppression window
     q_lw_s, t_lw_s = lie.se3_inverse(q_wl, t_wl)
     cen_l = lie.se3_transform(q_lw_s, t_lw_s, feats.center_w)
-    fu, fv, _, ffov = project(cen_l, cfg)
+    if frame.yaw is not None:
+        fu, fv, _, ffov = project_yaw(cen_l, frame.yaw, cfg)
+    else:
+        fu, fv, _, ffov = project(cen_l, cfg)
     f_ok = feats.valid & ffov
     fui = jnp.clip(jnp.round(fu).astype(jnp.int32), 0, R - 1)
     fvi = jnp.clip(jnp.round(fv).astype(jnp.int32), 0, C - 1)
@@ -529,8 +768,15 @@ def detect_features(frame: Frame, feats: Features, q_wl, t_wl,
     patch_ok = (frame.rng[pu, pv] > 0).all(-1) & good
     psi = get_psi(inten)
 
-    pts_l = backproject(pu.astype(frame.intensity.dtype),
-                        pv.astype(frame.intensity.dtype), rng, cfg)
+    if frame.p_img is not None:
+        # exact mode: the actual deskewed 3D point of each patch pixel
+        # (ref detection reads img_deskewed_cloud_idx, photometric.cpp:
+        # 700-725) — the ideal backprojection would mis-place points by
+        # the staggered sub-pixel sampling azimuths
+        pts_l = frame.p_img[pu, pv]
+    else:
+        pts_l = backproject(pu.astype(frame.intensity.dtype),
+                            pv.astype(frame.intensity.dtype), rng, cfg)
 
     # patch 3D validity (ref photometric.cpp:700-725): the patch must be a
     # compact planar surface patch — every point within max_dist_from_mean
@@ -605,7 +851,12 @@ def linearize(frame: Frame, feats: Features, q_wl, t_wl,
         q2, t2 = lie.se3_retract(q_wl, t_wl, xi)
         qi, ti = lie.se3_inverse(q2, t2)
         pts_l = lie.se3_transform(qi, ti, pts_w)
-        u, v, rng, fov = project(pts_l, cfg)
+        if frame.yaw is not None:
+            # exact sampling model: re-skew to the matched pixel's
+            # sampling time + yaw-table projection (projectUndistorted)
+            u, v, rng, fov = project_undistorted(frame, pts_l, cfg)
+        else:
+            u, v, rng, fov = project(pts_l, cfg)
         inten = bilinear(frame.intensity, u, v)
         psi_cur = get_psi(inten)
         return psi_cur - psi_ref, (u, v, rng, fov)
@@ -635,11 +886,18 @@ def linearize(frame: Frame, feats: Features, q_wl, t_wl,
         ctr = patch_layout(cfg)[2]
         center_ok = (u[ctr] >= cfg.margin) & (u[ctr] < cfg.rows - cfg.margin)
         in_rng = (rng >= cfg.range_min) & (rng <= cfg.range_max)
-        masked = frame.mask[ui, vi]
+        # the eroded mask gates the patch CENTER only — the mask is eroded
+        # by patch+buffer exactly so that a center inside it has its whole
+        # patch inside the *uneroded* valid area (ref photometric.cpp:
+        # 349-371 + photometric_factor.hpp:175-223). Gating every patch
+        # pixel on the eroded mask double-applies the erosion and killed
+        # about half the store on sparse-fill frames; outer pixels landing
+        # on truly empty pixels still fail the occlusion gate (img_rng=0).
+        masked_c = frame.mask[ui[ctr], vi[ctr]]
         img_rng = frame.rng[ui, vi]
         not_occl = jnp.abs(img_rng - rng) <= cfg.occlusion_range_diff * rng
-        pix_ok = in_img & in_rng & masked & not_occl
-        all_ok = valid_f & pix_ok.all() & center_ok
+        pix_ok = in_img & in_rng & not_occl
+        all_ok = valid_f & pix_ok.all() & center_ok & masked_c
 
         # NCC gate: correlation of current patch with reference
         ncc = jnp.sum(get_psi(bilinear(frame.intensity, u, v)) * psi_ref)
@@ -664,9 +922,9 @@ def linearize(frame: Frame, feats: Features, q_wl, t_wl,
         bf = (J.T @ r) * w
         status = jnp.where(
             ~valid_f, PH_OOB,
-            jnp.where(~pix_ok.all(),
+            jnp.where(~(pix_ok.all() & masked_c),
                       jnp.where(~(in_img & in_rng).all(), PH_OOB,
-                                jnp.where(~masked.all(), PH_MASKED,
+                                jnp.where(~masked_c, PH_MASKED,
                                           PH_OCCLUDED)),
                       jnp.where(~ncc_ok, PH_NCC, PH_OK)))
         return Hf, bf, use, status

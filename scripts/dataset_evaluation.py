@@ -48,12 +48,69 @@ def find_gt(seq_dir):
     return None
 
 
+def compare_methods(bag_paths, methods, gt_path, out_dir):
+    """Method-vs-method comparison (ref scripts/evaluation.py:23-25 +
+    extract/compute loop): extract each method's odometry topic from the
+    results bag(s) to TUM, score ATE (APE trans RMSE, aligned) and RTE
+    (RPE point_distance over 10 m) against GT, and print one row per
+    method — the head-to-head workflow (e.g. mimosa vs FAST-LIVO2)."""
+    import numpy as np
+
+    from mimosa_tpu.io.rosbag import Bag
+    from mimosa_tpu.utils import evaluation as ev
+
+    os.makedirs(out_dir, exist_ok=True)
+    gt_ts, gt_p, _ = ev.load_tum(gt_path)
+    rows = []
+    for spec in methods:
+        name, topic = spec.split("=", 1)
+        ts, ps, qs = [], [], []
+        for bag_path in bag_paths:
+            for _topic, mtype, _t, msg in Bag(bag_path).messages(
+                    topics=[topic]):
+                if mtype != "nav_msgs/Odometry":
+                    continue
+                ts.append(msg["stamp"])
+                ps.append(msg["p"])
+                qs.append(msg["q"])
+        if not ts:
+            print(f"[skip] {name}: no messages on {topic}", file=sys.stderr)
+            continue
+        order = np.argsort(ts)
+        ts = np.asarray(ts)[order]
+        ps = np.asarray(ps)[order]
+        qs = np.asarray(qs)[order]
+        tum = os.path.join(out_dir, f"{name}.tum")
+        with open(tum, "w") as f:
+            for i in range(len(ts)):
+                q, p = qs[i], ps[i]
+                f.write(f"{ts[i]:.9f} {p[0]} {p[1]} {p[2]} "
+                        f"{q[1]} {q[2]} {q[3]} {q[0]}\n")
+        rows.append(dict(method=name, poses=len(ts),
+                         ate=ev.ate(ts, ps, gt_ts, gt_p),
+                         rte=ev.rte(ts, ps, gt_ts, gt_p)))
+        print(json.dumps(rows[-1]))
+
+    lines = ["| method | poses | ATE (m) | RTE (%) |", "|---|---|---|---|"]
+    best_ate = min((r["ate"] for r in rows), default=None)
+    for r in rows:
+        a = (f"**{r['ate']:.3f}**" if r["ate"] == best_ate
+             else f"{r['ate']:.3f}")
+        lines.append(f"| {r['method']} | {r['poses']} | {a} "
+                     f"| {r['rte']:.2f} |")
+    table = "\n".join(lines)
+    print(table)
+    with open(os.path.join(out_dir, "comparison.md"), "w") as f:
+        f.write(table + "\n")
+    return rows
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--dataset-dir", required=True)
-    ap.add_argument("--config", required=True)
-    ap.add_argument("--imu-topic", required=True)
-    ap.add_argument("--lidar-topic", required=True)
+    ap.add_argument("--dataset-dir")
+    ap.add_argument("--config")
+    ap.add_argument("--imu-topic")
+    ap.add_argument("--lidar-topic")
     ap.add_argument("--radar-topic")
     ap.add_argument("--odom-topic")
     ap.add_argument("--config-override")
@@ -65,7 +122,24 @@ def main():
                     help="mapping->localization refinement per sequence")
     ap.add_argument("--smooth", action="store_true",
                     help="global batch smoothing per sequence")
+    ap.add_argument("--compare-bags", nargs="*",
+                    help="method-vs-method mode: results bag(s) holding "
+                         "each method's odometry topic "
+                         "(ref scripts/evaluation.py workflow)")
+    ap.add_argument("--methods", nargs="*",
+                    help="name=/odom/topic pairs for --compare-bags")
+    ap.add_argument("--gt", help="ground-truth TUM file for --compare-bags")
     args = ap.parse_args()
+
+    if args.compare_bags:
+        if not (args.methods and args.gt):
+            ap.error("--compare-bags requires --methods and --gt")
+        compare_methods(args.compare_bags, args.methods, args.gt, args.out)
+        return
+    for req in ("dataset_dir", "config", "imu_topic", "lidar_topic"):
+        if getattr(args, req) is None:
+            ap.error(f"--{req.replace('_', '-')} is required "
+                     "(unless using --compare-bags)")
 
     import numpy as np
 

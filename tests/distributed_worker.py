@@ -61,8 +61,58 @@ def run(mesh_factory):
             int(np.asarray(res.num_inlier)))
 
 
+def replay_run(mesh_factory, t_total=3.6):
+    """Full synthetic replay (init -> declare -> GN -> absorb -> map update
+    per scan) on a mesh-sharded Sequencer. Every process executes identical
+    host logic on identical (seeded) inputs — multi-controller SPMD over the
+    global mesh, the determinism property of the reference's mimosa_rosbag
+    (src/mimosa_rosbag.cpp:49-247) carried to a multi-host run.
+    Returns (est_p [n,3], ate, n_scans)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mimosa_tpu.graph import sequencer as seq
+    from mimosa_tpu.graph import window as win
+    from mimosa_tpu.io import synthetic as syn
+    from mimosa_tpu.lidar import geometric as geo
+    from mimosa_tpu.mapping import voxel_hash as vh
+
+    mesh = mesh_factory()
+    world = syn.room_world()
+    tc = syn.TrajectoryConfig(t_total=t_total)
+    lm = syn.LidarModel()
+    data = syn.generate(world, tc, lm, seed=0)
+    s = seq.Sequencer(
+        seq_cfg=seq.SequencerConfig(
+            max_scan_points=max(4096, lm.n_rows * lm.n_cols),
+            n_geo_points=2048, n_map_points=4096, geo_leaf=0.4,
+            map_insert_leaf=0.15, keyframe_trans_thresh=0.3,
+            keyframe_rot_thresh=0.15, n_gn_iters=2,
+            quantize_transfer=False),
+        win_cfg=win.WindowConfig(K=6),
+        map_cfg=vh.VoxelMapConfig(leaf_size=0.4, capacity_log2=14,
+                                  plane_min_points=5, lru_horizon=0),
+        geo_cfg=geo.GeometricConfig(sigma=0.05, loc_count_thresh=50.0),
+        dtype=jnp.float32, mesh=mesh)
+    imu = data["imu"]
+    imu_i = 0
+    for scan in data["scans"]:
+        t_end = scan["ts_header"] + scan["t_rel"].max()
+        while imu_i < len(imu["ts"]) and imu["ts"][imu_i] <= t_end + 0.03:
+            s.add_imu(imu["ts"][imu_i], imu["acc"][imu_i],
+                      imu["gyro"][imu_i])
+            imu_i += 1
+        s.add_scan(scan["ts_header"], scan["points"], scan["t_rel"],
+                   scan["valid"])
+    est_ts = np.asarray([t for t, _, _ in s.trajectory])
+    est_p = np.asarray([p for _, p, _ in s.trajectory])
+    ate = syn.ate_rmse(est_ts, est_p, data["gt"]["ts"], data["gt"]["pos"])
+    return est_p, float(ate), len(data["scans"])
+
+
 def main():
     coord, nproc, pid = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+    mode = sys.argv[4] if len(sys.argv) > 4 else "kernel"
     os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
     import jax
 
@@ -74,11 +124,19 @@ def main():
 
     from mimosa_tpu.parallel import sharded as sh
 
-    H, b, n_inl = run(lambda: sh.make_mesh())
-    if pid == 0:
-        print("DIST_RESULT",
-              repr([round(float(x), 4) for x in H.ravel().tolist()]),
-              repr([round(float(x), 4) for x in b.tolist()]), n_inl)
+    if mode == "replay":
+        import json
+        est_p, ate, n_scans = replay_run(lambda: sh.make_mesh())
+        if pid == 0:
+            print("DIST_TRAJ", json.dumps(dict(
+                p=[[round(float(x), 6) for x in row] for row in est_p],
+                ate=round(ate, 6), n_scans=n_scans)))
+    else:
+        H, b, n_inl = run(lambda: sh.make_mesh())
+        if pid == 0:
+            print("DIST_RESULT",
+                  repr([round(float(x), 4) for x in H.ravel().tolist()]),
+                  repr([round(float(x), 4) for x in b.tolist()]), n_inl)
     jax.distributed.shutdown()
 
 

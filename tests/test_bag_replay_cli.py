@@ -210,3 +210,51 @@ def test_dataset_evaluation_harness(tmp_path):
     md = (out_dir / "results.md").read_text()
     assert "tunnel_s" in md and "0.743" in md   # COIN-LIO column present
     assert (out_dir / "tunnel_s.tum").exists()
+
+
+def test_method_vs_method_compare(tmp_path):
+    """Method-vs-method evaluation mode (ref scripts/evaluation.py:23-25):
+    extract two methods' odometry topics from a results bag, score both
+    against GT, and emit the comparison table."""
+    import os
+    import sys
+
+    import numpy as np
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "scripts"))
+    from dataset_evaluation import compare_methods
+
+    from mimosa_tpu.io.rosbag_writer import BagWriter, serialize_odometry
+
+    rng = np.random.default_rng(3)
+    ts = np.arange(100.0, 110.0, 0.1)
+    gt_p = np.stack([np.sin(0.3 * ts), 0.5 * ts - 50.0,
+                     np.zeros_like(ts)], -1)
+    qi = np.asarray([1.0, 0, 0, 0])
+    gt_path = tmp_path / "gt.tum"
+    with open(gt_path, "w") as f:
+        for i in range(len(ts)):
+            p = gt_p[i]
+            f.write(f"{ts[i]:.9f} {p[0]} {p[1]} {p[2]} 0 0 0 1\n")
+
+    bag = tmp_path / "results.bag"
+    w = BagWriter(str(bag))
+    for i in range(len(ts)):
+        good = gt_p[i] + rng.normal(size=3) * 0.01
+        bad = gt_p[i] + rng.normal(size=3) * 0.3
+        w.write("/mimosa/odom", "nav_msgs/Odometry", ts[i],
+                serialize_odometry(ts[i], qi, good))
+        w.write("/other/odom", "nav_msgs/Odometry", ts[i],
+                serialize_odometry(ts[i], qi, bad))
+    w.close()
+
+    rows = compare_methods([str(bag)],
+                           ["mimosa=/mimosa/odom", "other=/other/odom"],
+                           str(gt_path), str(tmp_path / "out"))
+    by = {r["method"]: r for r in rows}
+    assert by["mimosa"]["poses"] == len(ts)
+    assert by["mimosa"]["ate"] < 0.05
+    assert by["other"]["ate"] > 2 * by["mimosa"]["ate"]
+    assert (tmp_path / "out" / "comparison.md").exists()
+    assert (tmp_path / "out" / "mimosa.tum").exists()

@@ -142,8 +142,12 @@ def test_state_upto_picks_rightmost_not_newer():
     # exactly at a state ts -> that state (<= semantics)
     st = s.state_upto(s.state_ts[2])
     assert st.ts == s.state_ts[2]
-    # before the oldest live state -> None (marginalized out)
-    assert s.state_upto(s.state_ts[0] - 1e-6) is None
+    # within the reference's 4 ms grace below the oldest live state ->
+    # the oldest state (ref graph/manager.cpp:532-541 fallback)
+    st = s.state_upto(s.state_ts[0] - 1e-6)
+    assert st is not None and st.ts == s.state_ts[0]
+    # beyond the grace -> None (marginalized out)
+    assert s.state_upto(s.state_ts[0] - 5e-3) is None
 
 
 def test_pose_at_full_log_and_interpolation():
