@@ -84,10 +84,14 @@ class OnlineEstimator:
 
     def __init__(self, seq, g_mag=9.81, on_propagated=None, on_state=None,
                  collection_slack=0.0, max_pending_scans=8,
-                 stage_on_push=True):
+                 stage_on_push=True, debug_stream=None):
         from mimosa_tpu.imu.propagation import Propagator
 
         self.seq = seq
+        # io.viz.DebugStream for the live dashboard; emitted from the
+        # worker thread (the thread that owns the sequencer — the query
+        # APIs are not safe from other threads, see sequencer.py)
+        self.debug_stream = debug_stream
         self.on_propagated = on_propagated
         self.on_state = on_state
         self.collection_slack = float(collection_slack)
@@ -252,6 +256,8 @@ class OnlineEstimator:
             seq.add_scan(payload["ts_header"], staged=payload)
             with self._pending_lock:
                 self._n_pending_scans -= 1
+            if self.debug_stream is not None:
+                self.debug_stream.emit(seq)
         elif kind == "radar":
             ts, pts, dop, snr = payload
             seq.add_radar(ts, pts, dop, snr_db=snr)

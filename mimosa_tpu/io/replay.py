@@ -78,7 +78,7 @@ def replay_bag(bag_path, config_path, imu_topic, lidar_topic,
                start_offset=0.0, duration=None, max_scan_points=None,
                verbose=True, platform=None, step_control=None,
                ouster_metadata=None, two_pass=False, smooth=False,
-               **seq_overrides):
+               debug_stream=None, **seq_overrides):
     """``two_pass=True`` = mapping->localization refinement (beyond the
     reference): pass 1 runs the normal SLAM replay building the map; pass 2
     replays the same messages against the FROZEN final map (freeze_map
@@ -88,7 +88,10 @@ def replay_bag(bag_path, config_path, imu_topic, lidar_topic,
 
     ``smooth=True`` = global batch smoothing (graph/refine.py) of the final
     trajectory from the bag's full IMU stream; the result is attached to
-    the returned sequencer as ``.smoothed = (ts, q, p)``."""
+    the returned sequencer as ``.smoothed = (ts, q, p)``.
+
+    ``debug_stream``: an ``io.viz.DebugStream`` — one JSON debug line per
+    (cadenced) scan for the live dashboard (the debug-topic stand-in)."""
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
@@ -210,6 +213,8 @@ def replay_bag(bag_path, config_path, imu_topic, lidar_topic,
                 _, st = pending.pop(0)
                 s.add_scan(st["ts_header"], staged=st)
                 n_proc += 1
+                if debug_stream is not None:
+                    debug_stream.emit(s)
         elif topic == lidar_topic:
             if skip_left["lidar"] > 0:
                 skip_left["lidar"] -= 1
@@ -262,6 +267,8 @@ def replay_bag(bag_path, config_path, imu_topic, lidar_topic,
                 continue
             s.add_odometry(m["stamp"] + ts_off["odom"], m["q"], m["p"],
                            m["pose_cov"])
+      if debug_stream is not None:
+          debug_stream.emit(s, force=True)
       wall = time.time() - t_start
       if verbose:
         print(f"{label}replayed {n_proc} scans in {wall:.1f}s "
@@ -316,6 +323,11 @@ def main():
     ap.add_argument("--smooth", action="store_true",
                     help="global batch smoothing of the final trajectory "
                          "(graph/refine.py)")
+    ap.add_argument("--debug-stream", metavar="JSONL",
+                    help="write a per-scan JSONL debug stream for the live "
+                         "dashboard (scripts/live_dashboard.py --follow)")
+    ap.add_argument("--stream-every", type=int, default=10,
+                    help="debug-stream cadence in scans (default 10)")
     args = ap.parse_args()
 
     import contextlib
@@ -326,6 +338,10 @@ def main():
         # Perfetto / tensorboard-plugin-profile
         import jax
         prof = jax.profiler.trace(args.profile)
+    stream = None
+    if args.debug_stream:
+        from mimosa_tpu.io.viz import DebugStream
+        stream = DebugStream(args.debug_stream, every=args.stream_every)
     with prof:
         s = replay_bag(args.bag, args.config, args.imu_topic,
                        args.lidar_topic, args.radar_topic, args.odom_topic,
@@ -334,7 +350,12 @@ def main():
                        step_control=StepControl() if args.interactive
                        else None,
                        ouster_metadata=args.ouster_metadata,
-                       two_pass=args.two_pass, smooth=args.smooth)
+                       two_pass=args.two_pass, smooth=args.smooth,
+                       debug_stream=stream)
+    if stream is not None:
+        stream.close()
+        print(f"debug stream -> {args.debug_stream} "
+              f"({stream.n_emitted} lines)")
     import numpy as np
     smoothed = getattr(s, "smoothed", None)
     if smoothed is not None:

@@ -1,0 +1,330 @@
+"""Live observability: per-scan debug streaming + marker-style overlays.
+
+The reference publishes six debug messages consumed live by plotjuggler
+(mimosa/plotjuggler/mimosa*.xml) and rviz markers: correspondence planes
+and normals (src/lidar/geometric.cpp:330-425), localizability triads
+(include/mimosa/utils.hpp:315-347), keyframe pose arrays, and the feature
+image (src/lidar/photometric.cpp publishFeatures). This module is the
+TPU-native equivalent without ROS:
+
+- :class:`DebugStream` appends one JSON line per scan to a file the live
+  dashboard tails (``scripts/live_dashboard.py --follow [--serve PORT]``)
+  — the debug-topic stand-in.
+- :func:`icp_snapshot` re-matches a scan against the current map at the
+  current estimate and returns per-point correspondences + the full
+  :class:`~mimosa_tpu.lidar.geometric.ICPResult` — the marker data.
+- :func:`render_correspondences` / :func:`render_feature_overlay` draw the
+  rviz-marker equivalents (point->plane segments, normals, localizability
+  triads; feature patches on the intensity image) as PNGs.
+
+All of this is OFF the hot path and opt-in: the streaming reads go through
+one jitted gather program + a small device-to-host transfer (both
+relay-safe — eager per-element device indexing would permanently downgrade
+the tunneled-TPU session to per-program round-trips, see CLAUDE.md), and
+the overlay renderers recompute matches in a separate program so the
+per-scan step stays sync-free.
+"""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mimosa_tpu.core import lie
+from mimosa_tpu.lidar import geometric as geo
+from mimosa_tpu.lidar.downsample import voxel_downsample
+
+
+def _fetch_program():
+    """Jitted gather of (debug row, pose) at a dynamic index — one program
+    dispatch + a tiny transfer per emit instead of eager indexing."""
+
+    def fetch(rec, tq, tp, i, j):
+        row = jax.lax.dynamic_slice_in_dim(rec, i, 1)[0]
+        q = jax.lax.dynamic_slice_in_dim(tq, j, 1)[0]
+        p = jax.lax.dynamic_slice_in_dim(tp, j, 1)[0]
+        return row, q, p
+
+    return jax.jit(fetch)
+
+
+class DebugStream:
+    """Append-only JSONL per-scan debug stream (the debug-topic stand-in).
+
+    One line per emitted scan: ts, scan index, the 17 status slots of the
+    debug record (inliers, reject counters, mean residual, degeneracy
+    flags, photometric statuses, rescue flag), IMU-factor localizability
+    eigenvalues, pose, window occupancy, and the host counters. Emitted
+    every ``every`` scans (default 10 — at the tunneled TPU's transfer
+    latency a per-scan emit would cost a few ms; local devices can use 1).
+
+    Wire it with ``replay_bag(..., debug_stream=DebugStream(path))`` or
+    call :meth:`emit` yourself after ``add_scan`` from the thread that
+    owns the sequencer.
+    """
+
+    def __init__(self, path, every=10):
+        self.path = path
+        self.every = max(int(every), 1)
+        self._f = open(path, "w")
+        self._fetch = _fetch_program()
+        self._last = -1
+        self.n_emitted = 0
+
+    def emit(self, s, force=False):
+        """Emit one line for the newest scan of sequencer ``s`` (no-op if
+        no new scan, or off the ``every`` cadence unless ``force``)."""
+        idx = s.scan_idx
+        if idx == 0 or idx == self._last:
+            return False
+        if not force and (idx % self.every) != 0:
+            return False
+        self._last = idx
+        j = max(len(s._traj_ts) - 1, 0)
+        row, q, p = self._fetch(s.debug_rec, s.traj_q, s.traj_p,
+                                jnp.asarray(idx - 1, jnp.int32),
+                                jnp.asarray(j, jnp.int32))
+        row = np.asarray(jax.device_get(row), np.float64)
+        q = np.asarray(jax.device_get(q), np.float64)
+        p = np.asarray(jax.device_get(p), np.float64)
+        line = {
+            "scan": int(idx),
+            "ts": float(s._traj_ts[j]) if s._traj_ts else None,
+            "q_wxyz": q.round(6).tolist(),
+            "p": p.round(4).tolist(),
+            "icp_inliers": int(row[0]),
+            "icp_status": [int(v) for v in row[1:5]],
+            "mean_abs_res": round(float(row[5]), 6),
+            "degen_rot": [bool(v > 0.5) for v in row[6:9]],
+            "degen_trans": [bool(v > 0.5) for v in row[9:12]],
+            "photo_tracked": int(row[12]),
+            "photo_status": [int(v) for v in row[12:16]],
+            "rescued": bool(row[16] > 0.5),
+            "imu_loc_rot": row[38:41].round(3).tolist(),
+            "imu_loc_pos": row[41:44].round(3).tolist(),
+            "imu_loc_vel": row[44:47].round(3).tolist(),
+            "n_active": int(s.n_active),
+            "counters": dict(s.counters),
+        }
+        self._f.write(json.dumps(line) + "\n")
+        self._f.flush()
+        self.n_emitted += 1
+        return True
+
+    def close(self):
+        self._f.close()
+
+
+# ---------------------------------------------------------------------------
+# correspondence / localizability snapshot (the rviz-marker data)
+# ---------------------------------------------------------------------------
+
+_snap_cache = {}
+
+
+def icp_snapshot(s, points, valid=None, max_points=4096):
+    """Re-match a sensor-frame scan against the CURRENT map at the CURRENT
+    estimate and return the marker data the reference's fillMarkerArray
+    publishes (geometric.cpp:330-425): per-point world position, plane
+    foot point, plane normal, inlier mask, plus the full ICPResult
+    (localizability eigen-triads, utils.hpp:315-347).
+
+    ``points``: [N,3] sensor(lidar)-frame numpy array (the raw scan is
+    fine — viz skips deskew; at 10 Hz the skew is sub-leaf-size). Runs a
+    dedicated jitted program, so the per-scan estimator step stays
+    sync-free. Returns a dict of numpy arrays or None before init.
+    """
+    st = s.current_state()
+    if st is None:
+        return None
+    if valid is None:
+        valid = np.isfinite(points).all(-1) & (
+            np.linalg.norm(points, axis=-1) > 1e-3)
+    # body-frame points at a fixed budget (pad/truncate for a static shape)
+    n = min(len(points), max_points * 4)
+    pts = np.zeros((max_points * 4, 3), np.float32)
+    ok = np.zeros(max_points * 4, bool)
+    pts[:n] = points[:n]
+    ok[:n] = valid[:n]
+
+    key = (id(s), max_points)
+    fn = _snap_cache.get(key)
+    if fn is None:
+        seq_cfg, map_cfg, geo_cfg = s.cfg, s.map_cfg, s.geo_cfg
+        q_bl = jnp.asarray(seq_cfg.q_b_l, s.dtype)
+        t_bl = jnp.asarray(seq_cfg.t_b_l, s.dtype)
+
+        def snap(vmap, pts_l, vd, q, t, g_dir):
+            pts_b = lie.se3_transform(q_bl, t_bl, pts_l)
+            pb, pv, _ = voxel_downsample(pts_b, vd, seq_cfg.geo_leaf,
+                                         max_points)
+            matches = geo.match(vmap, pb, q, t, map_cfg)
+            res, inlier = geo.linearize_with(matches, pb, pv, q, t,
+                                             geo_cfg, g_dir,
+                                             return_inlier=True)
+            normal, mean, found = matches
+            R = lie.quat_to_mat(q)
+            p_w = pb @ R.T + t
+            r = jnp.sum(normal * (p_w - mean), axis=-1)
+            foot = p_w - r[:, None] * normal
+            return p_w, foot, normal, inlier, pv & found, res
+
+        fn = _snap_cache[key] = jax.jit(snap)
+
+    q = jnp.asarray(st.q, s.dtype)
+    t = jnp.asarray(st.p, s.dtype)
+    g_dir = s.window.g_dir if hasattr(s.window, "g_dir") else None
+    out = fn(s.vmap, jnp.asarray(pts), jnp.asarray(ok), q, t, g_dir)
+    p_w, foot, normal, inlier, found, res = jax.device_get(out)
+    return dict(
+        p_w=np.asarray(p_w), foot=np.asarray(foot),
+        normal=np.asarray(normal), inlier=np.asarray(inlier),
+        found=np.asarray(found), pose_q=np.asarray(st.q),
+        pose_p=np.asarray(st.p),
+        eigvals_rot=np.asarray(res.eigvals_rot),
+        eigvals_trans=np.asarray(res.eigvals_trans),
+        eigvecs_rot=np.asarray(res.eigvecs_rot),
+        eigvecs_trans=np.asarray(res.eigvecs_trans),
+        degen_rot=np.asarray(res.degenerate_rot),
+        degen_trans=np.asarray(res.degenerate_trans),
+        num_inlier=int(res.num_inlier),
+    )
+
+
+def render_correspondences(snap, out_png, max_draw=600):
+    """Draw the correspondence/normal markers + localizability triad of an
+    :func:`icp_snapshot` as a PNG (the rviz stand-in): top-down XY with
+    point->plane-foot segments and plane normals, plus the translation /
+    rotation eigen-triads scaled by their eigenvalues and colored by the
+    degeneracy flags (red = degenerate axis)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    inl = snap["inlier"]
+    idx = np.flatnonzero(inl)
+    if len(idx) > max_draw:
+        idx = idx[np.linspace(0, len(idx) - 1, max_draw).astype(int)]
+    p, f, n = snap["p_w"][idx], snap["foot"][idx], snap["normal"][idx]
+    pose = snap["pose_p"]
+
+    fig, axes = plt.subplots(1, 2, figsize=(13, 6))
+    ax = axes[0]
+    for a, b in zip(p, f):
+        ax.plot([a[0], b[0]], [a[1], b[1]], c="tab:orange", lw=0.5,
+                alpha=0.5)
+    ax.scatter(f[:, 0], f[:, 1], s=2, c="tab:blue", label="plane foot")
+    ax.quiver(f[:, 0], f[:, 1], n[:, 0], n[:, 1], color="tab:green",
+              width=2e-3, scale=40, alpha=0.6, label="normal")
+    ax.scatter([pose[0]], [pose[1]], marker="*", s=140, c="k",
+               label="pose")
+    ax.set_title(f"correspondences (XY) — {snap['num_inlier']} inliers")
+    ax.axis("equal")
+    ax.legend(fontsize=8)
+
+    # localizability triad: translation eigvecs in XY scaled by sqrt(eig),
+    # rotation eigvals as a bar inset (ref utils.hpp:315-347 triad markers)
+    ax = axes[1]
+    lam_t = snap["eigvals_trans"]
+    scale = np.sqrt(np.maximum(lam_t, 0.0))
+    scale = scale / max(scale.max(), 1e-9)
+    for k in range(3):
+        v = snap["eigvecs_trans"][:, k]
+        col = "tab:red" if snap["degen_trans"][k] else "tab:blue"
+        ax.annotate(
+            "", xy=(v[0] * scale[k], v[1] * scale[k]), xytext=(0, 0),
+            arrowprops=dict(arrowstyle="->", color=col, lw=2))
+        ax.annotate(f"t{k}: {lam_t[k]:.1e}",
+                    xy=(v[0] * scale[k], v[1] * scale[k]), fontsize=8)
+    lam_r = snap["eigvals_rot"]
+    ins = ax.inset_axes([0.65, 0.05, 0.3, 0.25])
+    ins.bar(range(3), lam_r,
+            color=["tab:red" if d else "tab:blue"
+                   for d in snap["degen_rot"]])
+    ins.set_title("rot eigvals", fontsize=7)
+    ins.tick_params(labelsize=6)
+    ax.set_xlim(-1.2, 1.2)
+    ax.set_ylim(-1.2, 1.2)
+    ax.set_title("translation localizability triad (XY projection)")
+    ax.set_aspect("equal")
+
+    fig.tight_layout()
+    fig.savefig(out_png, dpi=110)
+    plt.close(fig)
+    return out_png
+
+
+def render_feature_overlay(s, points, intensity, valid, out_png):
+    """Feature image overlay (ref photometric.cpp publishFeatures): the
+    scan's normalized intensity image with the live feature store's
+    centers projected at the current estimate (green = in fov + tracked
+    mask, red = projects outside the usable mask). Uses the approximate
+    projection for display (the exact model's re-skew moves pixels
+    sub-pixel amounts — invisible at PNG scale)."""
+    if s.photo_cfg is None:
+        return None
+    st = s.current_state()
+    if st is None:
+        return None
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from mimosa_tpu.lidar import photometric as ph
+
+    cfg = s.photo_cfg
+    n = s.cfg.max_scan_points
+    pts = np.zeros((n, 3), np.float32)
+    inten = np.zeros(n, np.float32)
+    ok = np.zeros(n, bool)
+    m = min(len(points), n)
+    pts[:m] = points[:m]
+    inten[:m] = intensity[:m]
+    ok[:m] = valid[:m]
+
+    key = ("feat_overlay", id(s))
+    fn = _snap_cache.get(key)
+    if fn is None:
+        seq_cfg = s.cfg
+        q_bl = jnp.asarray(seq_cfg.q_b_l, s.dtype)
+        t_bl = jnp.asarray(seq_cfg.t_b_l, s.dtype)
+        show_cfg = cfg
+        if cfg.exact_ouster:
+            import dataclasses
+            show_cfg = dataclasses.replace(cfg, exact_ouster=False)
+
+        def overlay(pts_l, inten_, vd, feats, q, t):
+            frame = ph.make_frame(pts_l, inten_, vd, show_cfg)
+            q_wl, t_wl = lie.se3_compose(q, t, q_bl, t_bl)
+            q_lw, t_lw = lie.se3_inverse(q_wl, t_wl)
+            cen_l = lie.se3_transform(q_lw, t_lw, feats.center_w)
+            fu, fv, _, fov = ph.project(cen_l, show_cfg)
+            ui = jnp.clip(jnp.round(fu).astype(jnp.int32), 0,
+                          show_cfg.rows - 1)
+            vi = jnp.clip(jnp.round(fv).astype(jnp.int32), 0,
+                          show_cfg.cols - 1)
+            good = feats.valid & fov & frame.mask[ui, vi]
+            return frame.intensity, fu, fv, feats.valid & fov, good
+
+        fn = _snap_cache[key] = jax.jit(overlay)
+
+    img, fu, fv, vis, good = jax.device_get(fn(
+        jnp.asarray(pts), jnp.asarray(inten), jnp.asarray(ok), s.features,
+        jnp.asarray(st.q, s.dtype), jnp.asarray(st.p, s.dtype)))
+    img, fu, fv = np.asarray(img), np.asarray(fu), np.asarray(fv)
+    vis, good = np.asarray(vis), np.asarray(good)
+
+    fig, ax = plt.subplots(figsize=(14, 3.2))
+    ax.imshow(img, cmap="gray", aspect="auto", interpolation="nearest")
+    bad = vis & ~good
+    ax.scatter(fv[good], fu[good], s=36, facecolors="none",
+               edgecolors="lime", lw=1.2, label=f"tracked {good.sum()}")
+    ax.scatter(fv[bad], fu[bad], s=36, facecolors="none",
+               edgecolors="red", lw=1.0, label=f"masked/edge {bad.sum()}")
+    ax.set_title("photometric feature overlay")
+    ax.legend(fontsize=8, loc="upper right")
+    fig.tight_layout()
+    fig.savefig(out_png, dpi=110)
+    plt.close(fig)
+    return out_png

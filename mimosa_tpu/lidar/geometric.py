@@ -90,9 +90,12 @@ def match(vmap_: vh.VoxelMap, points_b, q, t, map_cfg: vh.VoxelMapConfig):
 
 
 def linearize_with(matches, points_b, valid, q, t, cfg: GeometricConfig,
-                   g_dir=None) -> ICPResult:
+                   g_dir=None, return_inlier=False) -> ICPResult:
     """ICP linearization against fixed correspondences ``matches`` =
-    (normal, mean, found) from :func:`match`."""
+    (normal, mean, found) from :func:`match`. With ``return_inlier`` also
+    returns the per-point inlier mask (the marker/overlay renderers in
+    io/viz.py need it; the reference draws its correspondence markers from
+    the same per-point statuses, geometric.cpp:330-425)."""
     dtype = points_b.dtype
     R = lie.quat_to_mat(q)
     p_w = points_b @ R.T + t
@@ -157,8 +160,9 @@ def linearize_with(matches, points_b, valid, q, t, cfg: GeometricConfig,
         H = P @ H @ P.T
         b = P @ b
 
-    return ICPResult(H, b, counts[0], counts, mean_abs,
-                     cnt_r, cnt_t, lam_r, lam_t, V_r, V_t, degen_r, degen_t)
+    res = ICPResult(H, b, counts[0], counts, mean_abs,
+                    cnt_r, cnt_t, lam_r, lam_t, V_r, V_t, degen_r, degen_t)
+    return (res, inlier) if return_inlier else res
 
 
 def linearize(vmap_: vh.VoxelMap, points_b, valid, q, t,
@@ -178,6 +182,76 @@ def linearize(vmap_: vh.VoxelMap, points_b, valid, q, t,
     """
     m = match(vmap_, points_b, q, t, map_cfg)
     return linearize_with(m, points_b, valid, q, t, cfg, g_dir=g_dir)
+
+
+class BinaryICPResult(NamedTuple):
+    """Two-key scan-to-scan point-to-plane block, tangent layout
+    [xi_source(6), xi_target(6)] (each [dR, dt] body-frame right)."""
+
+    H: jnp.ndarray             # [12,12]
+    b: jnp.ndarray             # [12]
+    num_inlier: jnp.ndarray
+    status_counts: jnp.ndarray  # [NUM_STATUS]
+    mean_abs_res: jnp.ndarray
+
+
+def linearize_binary(vmap_t: vh.VoxelMap, points_src_b, valid, q_s, t_s,
+                     q_t, t_t, map_cfg: vh.VoxelMapConfig,
+                     cfg: GeometricConfig) -> BinaryICPResult:
+    """Binary scan-to-scan ICP factor: source points registered against a
+    voxel map expressed in the TARGET state's body frame, constraining
+    BOTH poses (the reference's two-key ICPFactor ctor,
+    geometric_factor.hpp:131-141; its runtime never constructs it, but the
+    API is part of the factor surface). The unary factor is the special
+    case T_target = identity with a world-frame map.
+
+    With delta = T_t^-1 T_s and y = dR p + dt (the source point in the
+    target frame), the residual r = n.(y - mu) has the rows
+      d r/d xi_s = [ p x (dR^T n),  dR^T n ]      (= unary rows with
+                                                   R -> dR)
+      d r/d xi_t = [ n x y,        -n ]
+    so a common rigid motion of both states is in the null space (the
+    relative measurement fixes no gauge). Gates/weights are identical to
+    :func:`linearize_with`, guarded by the identity-target equality test
+    (tests/test_binary_factors.py)."""
+    dtype = points_src_b.dtype
+    qi, ti = lie.se3_inverse(q_t, t_t)
+    q_d, t_d = lie.se3_compose(qi, ti, q_s, t_s)
+    Rd = lie.quat_to_mat(q_d)
+    y = points_src_b @ Rd.T + t_d
+
+    normal, mean, found = vh.query_planes(vmap_t, y, map_cfg)
+    r = jnp.sum(normal * (y - mean), axis=-1)
+
+    # gates — same as linearize_with
+    in_dist = jnp.abs(r) <= cfg.max_p2p_dist
+    pn = jnp.sqrt(jnp.linalg.norm(points_src_b, axis=-1) + 1e-12)
+    s = 1.0 - 0.9 * jnp.abs(r) / pn
+    in_s = s >= cfg.s_gate_min
+    inlier = valid & found & in_dist & in_s
+    ar = jnp.abs(r)
+    w_huber = jnp.where(ar <= cfg.huber_delta, 1.0,
+                        cfg.huber_delta / jnp.maximum(ar, 1e-12))
+    w = jnp.where(inlier, w_huber, 0.0) / (cfg.sigma ** 2)
+
+    a = normal @ Rd                       # rows are dR^T n
+    J = jnp.concatenate([
+        jnp.cross(points_src_b, a), a,    # source block
+        jnp.cross(normal, y), -normal,    # target block
+    ], axis=-1)                           # [N,12]
+    H = jnp.einsum("ni,nj,n->ij", J, J, w)
+    b = jnp.einsum("ni,n->i", J, w * r)
+
+    st_no_plane = valid & ~found
+    st_dist = valid & found & ~in_dist
+    st_sgate = valid & found & in_dist & ~in_s
+    counts = jnp.stack([
+        jnp.sum(inlier), jnp.sum(st_no_plane), jnp.sum(st_dist),
+        jnp.sum(st_sgate),
+    ]).astype(jnp.int32)
+    m = inlier.astype(dtype)
+    mean_abs = jnp.sum(ar * m) / jnp.maximum(jnp.sum(m), 1.0)
+    return BinaryICPResult(H, b, counts[0], counts, mean_abs)
 
 
 def degenerate_selector(res: ICPResult, dtype=None):

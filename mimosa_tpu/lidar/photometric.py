@@ -941,6 +941,98 @@ def linearize(frame: Frame, feats: Features, q_wl, t_wl,
     return PhotoResult(H, b, jnp.sum(used.astype(jnp.int32)), counts, used)
 
 
+class PhotoBinaryResult(NamedTuple):
+    """Two-key photometric block, tangent layout [xi_a(6), xi_b(6)]."""
+
+    H: jnp.ndarray           # [12,12]
+    b: jnp.ndarray           # [12]
+    num_tracked: jnp.ndarray
+    status_counts: jnp.ndarray   # [PH_NUM_STATUS]
+    tracked: jnp.ndarray     # [F] bool
+
+
+def linearize_binary(frame_b: Frame, pts_a, psi_ref, valid_f,
+                     q_wl_a, t_wl_a, q_wl_b, t_wl_b,
+                     cfg: PhotometricConfig) -> PhotoBinaryResult:
+    """Binary scan-to-scan photometric factor: patches anchored in frame
+    a (patch 3D points ``pts_a`` [F,P,3] in a's scan-end LIDAR frame — the
+    reference's ``a_feature.Le_ps``) projected into frame b's intensity
+    image, constraining BOTH world->lidar poses (the two-key
+    PhotometricFactor ctor, photometric_factor.hpp:29,81-99 + the
+    is_binary_ branches of its linearize :281-336; the reference's runtime
+    never constructs it, but it is part of the factor API surface).
+
+    The gates are the unary set evaluated in frame b; there is no VSV^T
+    degeneracy restriction (the reference applies it only to the unary
+    map-anchored factor, :339-353). The residual depends on the relative
+    pose only, so a common rigid motion of both states lies in H's null
+    space (tests/test_binary_factors.py)."""
+    dtype = frame_b.intensity.dtype
+
+    def residual_one(xi, pts, psi_r):
+        qa, ta = lie.se3_retract(q_wl_a, t_wl_a, xi[:6])
+        qb, tb = lie.se3_retract(q_wl_b, t_wl_b, xi[6:])
+        qbi, tbi = lie.se3_inverse(qb, tb)
+        qd, td = lie.se3_compose(qbi, tbi, qa, ta)
+        pts_lb = lie.se3_transform(qd, td, pts)
+        if frame_b.yaw is not None:
+            u, v, rng, fov = project_undistorted(frame_b, pts_lb, cfg)
+        else:
+            u, v, rng, fov = project(pts_lb, cfg)
+        inten = bilinear(frame_b.intensity, u, v)
+        return get_psi(inten) - psi_r, (u, v, rng, fov)
+
+    z12 = jnp.zeros(12, dtype)
+
+    def one(pts, psi_r, vf):
+        fallback = jnp.asarray([5.0, 1.0, 0.5], dtype)
+        pts = jnp.where(vf, pts, fallback)
+        r, (u, v, rng, fov) = residual_one(z12, pts, psi_r)
+        J = jax.jacfwd(lambda xi: residual_one(xi, pts, psi_r)[0])(z12)
+
+        ui = jnp.clip(jnp.round(u).astype(jnp.int32), 0, cfg.rows - 1)
+        vi = jnp.clip(jnp.round(v).astype(jnp.int32), 0, cfg.cols - 1)
+        in_img = fov & (u >= 0) & (u <= cfg.rows - 1)
+        ctr = patch_layout(cfg)[2]
+        center_ok = (u[ctr] >= cfg.margin) & (u[ctr] < cfg.rows - cfg.margin)
+        in_rng = (rng >= cfg.range_min) & (rng <= cfg.range_max)
+        masked_c = frame_b.mask[ui[ctr], vi[ctr]]
+        img_rng = frame_b.rng[ui, vi]
+        not_occl = jnp.abs(img_rng - rng) <= cfg.occlusion_range_diff * rng
+        pix_ok = in_img & in_rng & not_occl
+        all_ok = vf & pix_ok.all() & center_ok & masked_c
+        ncc = jnp.sum(get_psi(bilinear(frame_b.intensity, u, v)) * psi_r)
+        use = all_ok & (ncc > 0.5)
+
+        err = jnp.linalg.norm(r)
+        we = err / cfg.sigma
+        c = cfg.huber_delta
+        if not cfg.use_robust:
+            w_rob = jnp.ones_like(err)
+        elif cfg.robust == "gemanmcclure":
+            w_rob = (c * c / (c * c + we * we)) ** 2
+        else:
+            w_rob = jnp.where(we <= c, 1.0, c / jnp.maximum(we, 1e-9))
+        w = jnp.where(use & (err <= cfg.max_error), w_rob, 0.0) / \
+            (cfg.sigma ** 2)
+        Hf = (J.T @ J) * w
+        bf = (J.T @ r) * w
+        status = jnp.where(
+            ~vf, PH_OOB,
+            jnp.where(~(pix_ok.all() & masked_c),
+                      jnp.where(~(in_img & in_rng).all(), PH_OOB,
+                                jnp.where(~masked_c, PH_MASKED,
+                                          PH_OCCLUDED)),
+                      jnp.where(~(ncc > 0.5), PH_NCC, PH_OK)))
+        return Hf, bf, use, status
+
+    Hs, bs, used, statuses = jax.vmap(one)(pts_a, psi_ref, valid_f)
+    counts = jnp.stack([jnp.sum((statuses == s) & valid_f)
+                        for s in range(PH_NUM_STATUS)]).astype(jnp.int32)
+    return PhotoBinaryResult(jnp.sum(Hs, axis=0), jnp.sum(bs, axis=0),
+                             jnp.sum(used.astype(jnp.int32)), counts, used)
+
+
 def update_lifecycle(feats: Features, tracked, cfg: PhotometricConfig
                      ) -> Features:
     """Kill lost/expired features; survivors age
