@@ -32,10 +32,16 @@ def _build():
     newest_src = max(os.path.getmtime(os.path.join(_HERE, f))
                      for f in ("decode.cc", "pack.inc"))
     if not os.path.exists(so) or os.path.getmtime(so) < newest_src:
-        subprocess.run(
-            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-             src, "-o", so],
-            check=True, capture_output=True)
+        base = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+                "-std=c++17", src, "-o", so]
+        # -fopenmp parallelizes the pack hot loops (pack.inc pragmas,
+        # bit-identical chunked reduction); fall back to serial when the
+        # toolchain lacks it
+        try:
+            subprocess.run(base[:-3] + ["-fopenmp"] + base[-3:],
+                           check=True, capture_output=True)
+        except subprocess.CalledProcessError:
+            subprocess.run(base, check=True, capture_output=True)
     return so
 
 

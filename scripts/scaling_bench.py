@@ -162,6 +162,59 @@ def main():
     print(json.dumps({"metric": "window_shard_scaling",
                       "K": K, "results": results_w}))
 
+    # --- full-replay scans/s vs devices (Sequencer(mesh=...)) ---
+    # The end-to-end figure VERDICT r1 asked for. Same caveat, stronger:
+    # virtual CPU devices TIMESHARE physical cores AND the per-scan host
+    # loop is serial, so the numbers below are a correctness demonstration
+    # of the whole multi-chip replay path at several mesh shapes, not a
+    # scaling measurement (that needs a pod slice).
+    from mimosa_tpu.graph import sequencer as sq
+    from mimosa_tpu.io import synthetic as syn
+    from mimosa_tpu.mapping import voxel_hash as vh2
+
+    data = syn.generate(syn.room_world(),
+                        syn.TrajectoryConfig(t_total=4.0),
+                        syn.LidarModel(), seed=0)
+    imu = data["imu"]
+    results_r = {}
+    for n in [1, 2, 4, 8]:
+        if n > n_dev:
+            break
+        mesh = par.make_mesh(n, n_mp=2 if n >= 4 else 1)
+        s = sq.Sequencer(
+            mesh=mesh,
+            seq_cfg=sq.SequencerConfig(
+                max_scan_points=8192, n_geo_points=4096, n_map_points=8192,
+                geo_leaf=0.4, map_insert_leaf=0.15, n_gn_iters=2),
+            win_cfg=win.WindowConfig(K=6),
+            map_cfg=vh.VoxelMapConfig(leaf_size=0.4, capacity_log2=16,
+                                      plane_min_points=5))
+        imu_i = 0
+        t0 = time.time()
+        n_scans = 0
+        for scan in data["scans"]:
+            t_end = scan["ts_header"] + scan["t_rel"].max()
+            while imu_i < len(imu["ts"]) and imu["ts"][imu_i] <= t_end + 0.03:
+                s.add_imu(imu["ts"][imu_i], imu["acc"][imu_i],
+                          imu["gyro"][imu_i])
+                imu_i += 1
+            s.add_scan(scan["ts_header"], scan["points"], scan["t_rel"],
+                       scan["valid"])
+            n_scans += 1
+        imu_i = 0
+        dt = time.time() - t0
+        est = np.asarray([p for _, p, _ in s.trajectory])
+        ets = np.asarray([t for t, _, _ in s.trajectory])
+        ate = syn.ate_rmse(ets, est, data["gt"]["ts"], data["gt"]["pos"])
+        results_r[n] = dict(scans_per_s=round(n_scans / dt, 2),
+                            ate_m=round(float(ate), 4))
+        print(f"replay devices={n:2d} mesh=({mesh.shape['dp']}x"
+              f"{mesh.shape['mp']})  {n_scans / dt:6.2f} scans/s  "
+              f"ATE {ate:.4f} m", flush=True)
+    print(json.dumps({"metric": "replay_scaling_correctness",
+                      "note": "virtual CPU devices timeshare cores — "
+                              "correctness only", "results": results_r}))
+
 
 if __name__ == "__main__":
     main()

@@ -32,7 +32,9 @@ def test_pose_info_records_mapping():
     s._traj_ts = [0.0, 0.1, 0.2]
     s._traj_src = [-1, 0, -1]          # row 1 came from scan 0
     s.scan_idx = 1
-    s.debug_rec = s.debug_rec.at[0, 17:].set(jnp.asarray(H[iu]))
+    # cols 17:38 = the triu6 pose quadratic (the ring widened to 47 with
+    # the IMU-localizability block at 38:47 — sequencer.DBG_W)
+    s.debug_rec = s.debug_rec.at[0, 17:38].set(jnp.asarray(H[iu]))
     out = s.pose_info_records()
     assert out.shape == (3, 6, 6)
     np.testing.assert_allclose(out[1], H, rtol=1e-6)
