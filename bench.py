@@ -202,8 +202,22 @@ def main():
     _, t_step0_ms = profiled_pass(0)
     # GN cost = full step minus a 0-GN-iteration step (same program minus
     # the GN loop); the remaining blocked step time is the point pipeline
-    # (deskew/downsample/match/absorb/map update) + dispatch.
+    # (deskew/downsample/match/absorb/map update) + dispatch. Blocking on
+    # a tunneled device pays a ~25 ms sync round-trip per step — measure
+    # that floor with a trivial program and subtract it, else t_points
+    # reports the relay latency, not the pipeline (the diff-based t_gn
+    # cancels the constant by construction).
+    one = jnp.ones(())
+    trivial = jax.jit(lambda x: x + 1.0)
+    jax.block_until_ready(trivial(one))
+    floors = []
+    for _ in range(15):
+        t0 = time.perf_counter()
+        jax.block_until_ready(trivial(one))
+        floors.append(time.perf_counter() - t0)
+    t_sync_floor_ms = 1e3 * float(np.median(floors))
     t_gn_ms = max(t_step3_ms - t_step0_ms, 0.0)
+    t_points_ms = max(t_step0_ms - t_sync_floor_ms, 0.0)
 
     print(json.dumps({
         "metric": "lidar_scans_per_s_per_chip",
@@ -214,7 +228,8 @@ def main():
         "photo_scans_per_s": round(sps_photo, 2),
         "t_host_ms": round(t_host_ms, 3),
         "t_gn_ms": round(t_gn_ms, 3),
-        "t_points_ms": round(t_step0_ms, 3),
+        "t_points_ms": round(t_points_ms, 3),
+        "t_sync_floor_ms": round(t_sync_floor_ms, 3),
         "rates_all_runs": [round(r, 1) for r in rates],
         "platform": jax.devices()[0].platform,
         # True ONLY when the TPU probe failed (not a user-requested CPU

@@ -828,7 +828,10 @@ class Sequencer:
                 raw = (points, t_rel,
                        valid if valid is not None
                        else np.isfinite(points).all(-1))
-                scan_dev = jnp.asarray(scan_q)
+                # device_put directly: same transfer, skips jnp.array's
+                # dtype-canonicalization python (~0.1 ms/scan on the host
+                # critical path)
+                scan_dev = jax.device_put(scan_q)
                 valid_dev = None
                 return dict(ts_header=float(ts_header), t_end=t_end,
                             scan_dev=scan_dev, valid_dev=valid_dev, raw=raw)
@@ -887,15 +890,21 @@ class Sequencer:
         same_key = self.imu.count_between(self.last_state_ts, t_end) < \
             self.cfg.min_imu_between_states
 
-        ts_seg, accs, gyros, dts, seg_valid, n_seg = self.imu.segment(
-            self.last_state_ts, t_end, self.cfg.max_imu_per_segment)
+        # packed IMU segment, filled in place (zero-allocation fast path —
+        # host time bounds the per-scan pipeline; the old concatenate/
+        # vstack/tile chain plus an f64->f32 eager convert cost ~0.5 ms of
+        # the ~1.9 ms scan budget). One packed f32 buffer = one fewer RPC
+        # per scan: the relay's per-message latency, not bytes, bounds the
+        # pipeline. The last row carries the scalar block.
+        m = self.cfg.max_imu_per_segment
+        imu_pack = np.zeros((m + 1, 8), np.float32)
+        self.imu.segment_into(self.last_state_ts, t_end, imu_pack[:m])
 
         # rebase all timestamps to the segment start ON HOST in f64 — real
         # datasets carry epoch-scale stamps that do not survive a cast to
         # the device f32 time base; the staged point times are
         # header-relative and get the same rebase via a scalar offset
-        base = ts_seg[0]
-        ts_seg = ts_seg - base
+        base = self.last_state_ts   # segment row 0 is interpolated AT t0
         t_end_rel = t_end - base
         t_offset = ts_header - base
 
@@ -927,14 +936,6 @@ class Sequencer:
         else:
             scalars = [self.n_active, t_end_rel, len(self._traj_ts),
                        self.scan_idx, t_offset, 0]
-        # one packed buffer = one fewer RPC per scan: the relay's
-        # per-message latency, not bytes, bounds the per-scan pipeline
-        m = len(dts)
-        imu_pack = np.zeros((m + 1, 8))
-        imu_pack[:m, 0:3] = accs
-        imu_pack[:m, 3:6] = gyros
-        imu_pack[:m, 6] = dts
-        imu_pack[:m, 7] = seg_valid
         imu_pack[m, :6] = scalars
 
         step = self._get_scan_step(
@@ -944,7 +945,10 @@ class Sequencer:
          self.debug_rec) = step(
             self.window, self.vmap, self.preints, self.fv,
             staged["scan_dev"], staged["valid_dev"],
-            jnp.asarray(imu_pack, self.dtype),
+            # numpy f32 goes straight through pjit's C++ arg path (one
+            # python device_put layer fewer than jnp.asarray per scan)
+            imu_pack if self.dtype == jnp.float32
+            else jnp.asarray(imu_pack, self.dtype),
             self.kf_q, self.kf_p, self.kf_count,
             self.traj_q, self.traj_p,
             self.debug_rec,

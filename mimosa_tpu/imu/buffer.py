@@ -200,6 +200,55 @@ class ImuBuffer:
         valid = np.arange(max_n) < n - 1  # last real row has dt=0 anyway
         return ts, acc, gyro, np.maximum(dts, 0.0), valid, n
 
+    def segment_into(self, t0: float, t1: float, out: np.ndarray) -> int:
+        """Zero-allocation fast path of :meth:`segment` for the per-scan
+        hot loop (host time bounds the pipeline — the device step itself
+        is ~0.3 ms): fills ``out`` ([max_n, 8] float32, the _scan_step
+        ``imu_f`` row layout [acc3 | gyro3 | dt | valid]) in place and
+        returns the number of real rows n. Semantics identical to
+        ``segment``: row 0 interpolated at t0, rows 1..n-2 the raw samples
+        strictly inside (t0, t1), row n-1 interpolated at t1 with dt=0;
+        pad rows repeat the last real sample with dt=0, valid=0.
+        """
+        assert t1 >= t0
+        max_n = out.shape[0]
+        ts_v = self._ts[: self._n]
+        i0 = int(np.searchsorted(ts_v, t0, "right"))
+        i1 = int(np.searchsorted(ts_v, t1, "left"))
+        if i1 - i0 + 2 > max_n:
+            # subsample uniformly to fit (should be sized to never trigger)
+            keep = np.linspace(i0, i1 - 1, max_n - 2).astype(int)
+            ts_in = ts_v[keep]
+            acc_in = self._acc[keep]
+            gyro_in = self._gyro[keep]
+        else:
+            ts_in = ts_v[i0:i1]
+            acc_in = self._acc[i0:i1]
+            gyro_in = self._gyro[i0:i1]
+        k = len(ts_in)
+        n = k + 2
+        a0, g0 = self.interpolate(t0)
+        a1, g1 = self.interpolate(t1)
+        out[0, 0:3] = a0
+        out[0, 3:6] = g0
+        out[1:1 + k, 0:3] = acc_in
+        out[1:1 + k, 3:6] = gyro_in
+        out[k + 1, 0:3] = a1
+        out[k + 1, 3:6] = g1
+        if k:
+            out[0, 6] = ts_in[0] - t0
+            out[1:k, 6] = ts_in[1:] - ts_in[:-1]
+            out[k, 6] = t1 - ts_in[-1]
+        else:
+            out[0, 6] = t1 - t0
+        out[n - 1, 6] = 0.0
+        np.maximum(out[: n - 1, 6], 0.0, out=out[: n - 1, 6])
+        out[n:, 0:6] = out[n - 1, 0:6]
+        out[n:, 6] = 0.0
+        out[: n - 1, 7] = 1.0
+        out[n - 1:, 7] = 0.0
+        return n
+
     def mean_measurements(self, t0: float, t1: float):
         """Mean (acc, gyro) over [t0, t1] (ref radar exposure gyro,
         src/radar/manager.cpp:55-76)."""

@@ -73,3 +73,25 @@ def test_setter_restore_roundtrip():
     # continues accepting after restore
     assert buf2.add(buf.t_last + 0.01, np.ones(3), np.ones(3))
     assert len(buf2) == 301
+
+
+def test_segment_into_matches_segment():
+    """segment_into (the add_scan zero-allocation fast path) must be
+    row-for-row identical (at f32) to segment()'s packed layout."""
+    buf, ts, acc, gyro = _filled(400)
+    buf.add_batch(ts, acc, gyro)
+    for t0, t1, max_n in [(0.101, 0.302, 64), (0.0, 1.9951, 64),
+                          (0.5001, 0.5002, 64),   # no inner samples
+                          (0.1, 1.9, 32),          # subsample branch
+                          (0.25, 0.25, 16)]:       # zero-length segment
+        ts_s, acc_s, gyro_s, dts_s, valid_s, n_s = buf.segment(t0, t1, max_n)
+        out = np.full((max_n, 8), np.nan, np.float32)
+        n_i = buf.segment_into(t0, t1, out)
+        assert n_i == n_s
+        np.testing.assert_allclose(out[:, 0:3],
+                                   acc_s.astype(np.float32), rtol=1e-6)
+        np.testing.assert_allclose(out[:, 3:6],
+                                   gyro_s.astype(np.float32), rtol=1e-6)
+        np.testing.assert_allclose(out[:, 6], dts_s.astype(np.float32),
+                                   rtol=1e-5, atol=1e-7)
+        np.testing.assert_array_equal(out[:, 7] > 0.5, valid_s)
