@@ -207,7 +207,11 @@ def main():
     # that floor with a trivial program and subtract it, else t_points
     # reports the relay latency, not the pipeline (the diff-based t_gn
     # cancels the constant by construction).
-    one = jnp.ones(())
+    # operand via H2D transfer, NOT an eager op (jnp.ones would be one):
+    # the first eager dispatch permanently downgrades the tunneled relay
+    # session to ~25 ms per-program round-trips (CLAUDE.md), inflating the
+    # sync floor relative to the floor embedded in t_step0
+    one = jax.device_put(np.float32(1.0))
     trivial = jax.jit(lambda x: x + 1.0)
     jax.block_until_ready(trivial(one))
     floors = []

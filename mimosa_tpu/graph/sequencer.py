@@ -244,6 +244,7 @@ class Sequencer:
 
         self.imu = ImuBuffer(max_duration=seq_cfg.imu_max_buffer_duration,
                              acc_scale=seq_cfg.imu_acc_scale)
+        self._imu_pack_scratch = None   # lazy (m+1, 8) per-scan IMU pack
         self.window = win.create(win_cfg, dtype)
         # init_map: start from an existing voxel map (localization against
         # a prior/survey map; pass 2 of the two-pass refinement)
@@ -897,7 +898,14 @@ class Sequencer:
         # per scan: the relay's per-message latency, not bytes, bounds the
         # pipeline. The last row carries the scalar block.
         m = self.cfg.max_imu_per_segment
-        imu_pack = np.zeros((m + 1, 8), np.float32)
+        # per-Sequencer scratch, reused every scan (true zero-allocation:
+        # jit copies numpy args into the transfer buffer at dispatch, so
+        # host-side reuse after step() returns is safe). Dtype follows the
+        # Sequencer: an f64 oracle run must not round-trip through f32.
+        imu_pack = self._imu_pack_scratch
+        if imu_pack is None or imu_pack.shape[0] != m + 1:
+            imu_pack = np.zeros((m + 1, 8), np.dtype(self.dtype))
+            self._imu_pack_scratch = imu_pack
         self.imu.segment_into(self.last_state_ts, t_end, imu_pack[:m])
 
         # rebase all timestamps to the segment start ON HOST in f64 — real
@@ -945,10 +953,9 @@ class Sequencer:
          self.debug_rec) = step(
             self.window, self.vmap, self.preints, self.fv,
             staged["scan_dev"], staged["valid_dev"],
-            # numpy f32 goes straight through pjit's C++ arg path (one
-            # python device_put layer fewer than jnp.asarray per scan)
-            imu_pack if self.dtype == jnp.float32
-            else jnp.asarray(imu_pack, self.dtype),
+            # numpy of the step dtype goes straight through pjit's C++ arg
+            # path (one python device_put layer fewer per scan)
+            imu_pack,
             self.kf_q, self.kf_p, self.kf_count,
             self.traj_q, self.traj_p,
             self.debug_rec,

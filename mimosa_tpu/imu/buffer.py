@@ -176,31 +176,17 @@ class ImuBuffer:
         Padding repeats the last row with ts = t1 (the deskew/preintegration
         convention: zero extra integration time).
         """
-        assert t1 >= t0
-        i0 = np.searchsorted(self.ts, t0, "right")
-        i1 = np.searchsorted(self.ts, t1, "left")
-        inner = slice(i0, i1)
-        n_inner = i1 - i0
-        if n_inner + 2 > max_n:
-            # subsample uniformly to fit (should be sized to never trigger)
-            keep = np.linspace(i0, i1 - 1, max_n - 2).astype(int)
-        else:
-            keep = np.arange(i0, i1)
-        a0, g0 = self.interpolate(t0)
-        a1, g1 = self.interpolate(t1)
-        ts = np.concatenate([[t0], self.ts[keep], [t1]])
-        acc = np.vstack([a0[None], self.acc[keep], a1[None]])
-        gyro = np.vstack([g0[None], self.gyro[keep], g1[None]])
-        n = len(ts)
-        pad = max_n - n
-        ts = np.concatenate([ts, np.full(pad, t1)])
-        acc = np.vstack([acc, np.tile(acc[-1:], (pad, 1))])
-        gyro = np.vstack([gyro, np.tile(gyro[-1:], (pad, 1))])
-        dts = np.diff(ts, append=t1)
-        valid = np.arange(max_n) < n - 1  # last real row has dt=0 anyway
-        return ts, acc, gyro, np.maximum(dts, 0.0), valid, n
+        # thin wrapper over segment_into — ONE implementation of the
+        # boundary/subsample/dt/pad logic (a second copy drifted apart is
+        # worse than the tuple-unpacking cost on this cold path)
+        out = np.zeros((max_n, 8))
+        ts = np.empty(max_n)
+        n = self.segment_into(t0, t1, out, out_ts=ts)
+        return (ts, out[:, 0:3], out[:, 3:6], out[:, 6],
+                out[:, 7] > 0.0, n)
 
-    def segment_into(self, t0: float, t1: float, out: np.ndarray) -> int:
+    def segment_into(self, t0: float, t1: float, out: np.ndarray,
+                     out_ts: np.ndarray | None = None) -> int:
         """Zero-allocation fast path of :meth:`segment` for the per-scan
         hot loop (host time bounds the pipeline — the device step itself
         is ~0.3 ms): fills ``out`` ([max_n, 8] float32, the _scan_step
@@ -209,6 +195,8 @@ class ImuBuffer:
         ``segment``: row 0 interpolated at t0, rows 1..n-2 the raw samples
         strictly inside (t0, t1), row n-1 interpolated at t1 with dt=0;
         pad rows repeat the last real sample with dt=0, valid=0.
+        ``out_ts`` ([max_n] f64, optional) additionally receives the
+        absolute timestamps (pad rows hold t1) — used by :meth:`segment`.
         """
         assert t1 >= t0
         max_n = out.shape[0]
@@ -247,6 +235,10 @@ class ImuBuffer:
         out[n:, 6] = 0.0
         out[: n - 1, 7] = 1.0
         out[n - 1:, 7] = 0.0
+        if out_ts is not None:
+            out_ts[0] = t0
+            out_ts[1:1 + k] = ts_in
+            out_ts[k + 1:] = t1
         return n
 
     def mean_measurements(self, t0: float, t1: float):
