@@ -55,8 +55,8 @@ def smooth(sequencer, imu_ts, imu_acc, imu_gyro, mesh=None, iters=3,
                          f"the cap or smooth in chunks")
     dtype = s.window.p.dtype
     n = K0
-    q_est = np.asarray(s.traj_q[:n], np.float64)
-    p_est = np.asarray(s.traj_p[:n], np.float64)
+    q_est = np.asarray(s.traj_q).astype(np.float64)[:n]
+    p_est = np.asarray(s.traj_p).astype(np.float64)[:n]
     H6 = s.pose_info_records().astype(np.float64)          # [K0,6,6]
     # rows without a scan registration (declared by radar/odometry, or a
     # scan whose quadratic never reached them) get a WEAK anchor at their

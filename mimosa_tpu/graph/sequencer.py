@@ -207,7 +207,7 @@ class Sequencer:
                  map_cfg: vh.VoxelMapConfig = vh.VoxelMapConfig(),
                  geo_cfg: geo.GeometricConfig = geo.GeometricConfig(),
                  photo_cfg=None, dtype=jnp.float32, init_map=None,
-                 mesh=None):
+                 mesh=None, step_cache=None):
         self.cfg = seq_cfg
         self.win_cfg = win_cfg
         self.map_cfg = map_cfg
@@ -244,7 +244,6 @@ class Sequencer:
 
         self.imu = ImuBuffer(max_duration=seq_cfg.imu_max_buffer_duration,
                              acc_scale=seq_cfg.imu_acc_scale)
-        self._imu_pack_scratch = None   # lazy (m+1, 8) per-scan IMU pack
         self.window = win.create(win_cfg, dtype)
         # init_map: start from an existing voxel map (localization against
         # a prior/survey map; pass 2 of the two-pass refinement)
@@ -300,10 +299,40 @@ class Sequencer:
         # concatenate would poison the relay's streamed dispatch)
         self._jit_double = jax.jit(
             lambda a: jnp.concatenate([a, jnp.zeros_like(a)]))
-        self._step_cache = {}
+        # step_cache: pass one dict to several Sequencers with IDENTICAL
+        # configs (e.g. repeated benchmark replays) to share the compiled
+        # step programs — a fresh Sequencer otherwise re-traces every jit
+        # and re-queries the compile cache, which costs SECONDS per program
+        # through the tunneled relay. Keys carry a config salt so mixed
+        # configs in one dict stay distinct; unhashable configs (e.g. a
+        # photometric static mask array) and mesh sequencers (their
+        # linearize fns close over per-instance state) fall back to
+        # per-instance keys.
+        self._step_cache = step_cache if step_cache is not None else {}
+        if mesh is not None:
+            self._cfg_salt = id(self)
+        else:
+            try:
+                salt = (seq_cfg, win_cfg, map_cfg, geo_cfg, photo_cfg,
+                        str(dtype))
+                hash(salt)
+                self._cfg_salt = salt
+            except TypeError:
+                self._cfg_salt = id(self)
+
+    def _ckey(self, *parts):
+        """Step-cache key: config salt + parts, degraded to per-instance
+        when a part is unhashable (defensive — shared caches must never
+        serve a program built for different configs)."""
+        key = (self._cfg_salt,) + parts
+        try:
+            hash(key)
+            return key
+        except TypeError:
+            return (id(self),) + tuple(repr(p) for p in parts)
 
     def _get_scan_step(self, marginalize_first: bool, append: bool = True):
-        key = ("scan", marginalize_first, append)
+        key = (self._cfg_salt, "scan", marginalize_first, append)
         if key not in self._step_cache:
             self._step_cache[key] = jax.jit(functools.partial(
                 _scan_step, seq_cfg=self.cfg, win_cfg=self.win_cfg,
@@ -314,6 +343,41 @@ class Sequencer:
                 marginalize_first=marginalize_first, append=append))
         return self._step_cache[key]
 
+    def _get_bulk_step(self, n_chunk):
+        """One jitted program running ``n_chunk`` steady-state scan steps
+        under a single ``lax.scan`` (see :meth:`add_scans_bulk`). The whole
+        estimator state is donated — the chunk updates it in place with no
+        buffer copies at program boundaries and NO per-scan dispatch."""
+        key = (self._cfg_salt, "bulk")
+        if key not in self._step_cache:
+            step_kw = dict(
+                seq_cfg=self.cfg, win_cfg=self.win_cfg,
+                map_cfg=self.map_cfg, geo_cfg=self.geo_cfg,
+                photo_cfg=self.photo_cfg, static_mask=self._static_mask,
+                linearize_fn=self._linearize_fn,
+                map_update_fn=self._map_update_fn,
+                marginalize_first=True, append=True)
+
+            def bulk(window, vmap, preints, fv, features,
+                     kf_q, kf_p, kf_count, traj_q, traj_p, debug_rec,
+                     scans_q, imu_packs, pt_valids):
+                def body(carry, x):
+                    w, vm, pi, f, ft, kq, kp, kc, tq, tp, db = carry
+                    scan_f, imu_f, ptv = x
+                    out = _scan_step(w, vm, pi, f, scan_f, ptv, imu_f,
+                                     kq, kp, kc, tq, tp, db, ft, **step_kw)
+                    return out, None
+
+                carry0 = (window, vmap, preints, fv, features,
+                          kf_q, kf_p, kf_count, traj_q, traj_p, debug_rec)
+                carry, _ = jax.lax.scan(body, carry0,
+                                        (scans_q, imu_packs, pt_valids))
+                return carry
+
+            self._step_cache[key] = jax.jit(
+                bulk, donate_argnums=tuple(range(11)))
+        return self._step_cache[key]
+
     # ------------------------------------------------------- logged outputs
     @property
     def trajectory(self):
@@ -322,8 +386,12 @@ class Sequencer:
         n = len(self._traj_ts)
         if n == 0:
             return []
-        q = np.asarray(self.traj_q[:n])
-        p = np.asarray(self.traj_p[:n])
+        # transfer-then-slice: device-side slicing (traj_q[:n]) is an
+        # EAGER op — the first one permanently downgrades a tunneled
+        # relay session out of streamed dispatch (CLAUDE.md); a full-
+        # array D2H transfer does not
+        q = np.asarray(self.traj_q)[:n]
+        p = np.asarray(self.traj_p)[:n]
         return [(self._traj_ts[i], p[i], q[i]) for i in range(n)]
 
     @property
@@ -335,20 +403,20 @@ class Sequencer:
         counts, mean_abs_res, 3+3 degeneracy flags, photometric tracked,
         rescue-triggered flag — the equivalent of the reference's
         LidarGeometricDebug / LidarPhotometricDebug messages."""
-        return np.asarray(self.debug_rec[: self.scan_idx, :17])
+        return np.asarray(self.debug_rec)[: self.scan_idx, :17]
 
     def imu_localizability_records(self):
         """Per-scan IMU-factor localizability eigenvalues [n_scans, 9]
         (rot[3], pos[3], vel[3], each ascending) — the ImuManagerDebug
         localizability diagnostic (ref imu/manager.cpp:436-482). Zero rows
         for same-key scans (no new IMU factor)."""
-        return np.asarray(self.debug_rec[: self.scan_idx, 38:47])
+        return np.asarray(self.debug_rec)[: self.scan_idx, 38:47]
 
     def pose_info_records(self):
         """[n_traj, 6, 6] absorbed pose-information matrix per trajectory
         row (zeros for rows declared by radar/odometry/init, which carry
         no scan registration) — the batch smoother's measurement input."""
-        dbg = np.asarray(self.debug_rec[: self.scan_idx, 17:38])
+        dbg = np.asarray(self.debug_rec)[: self.scan_idx, 17:38]
         out = np.zeros((len(self._traj_ts), 6, 6), dbg.dtype)
         iu = _TRIU6
         for row, sc in enumerate(self._traj_src):
@@ -643,7 +711,7 @@ class Sequencer:
         return self._par.radar_linearize_fn(self.mesh, rcfg)
 
     def _get_radar_samekey(self, rcfg):
-        key = ("radar_sk",)
+        key = self._ckey("radar_sk", rcfg)
         if key not in self._step_cache:
             self._step_cache[key] = jax.jit(functools.partial(
                 _radar_samekey_step, win_cfg=self.win_cfg, radar_cfg=rcfg,
@@ -651,7 +719,7 @@ class Sequencer:
         return self._step_cache[key]
 
     def _get_radar_ooo(self, rcfg):
-        key = ("radar_ooo",)
+        key = self._ckey("radar_ooo", rcfg)
         if key not in self._step_cache:
             self._step_cache[key] = jax.jit(functools.partial(
                 _radar_ooo_step, seq_cfg=self.cfg, win_cfg=self.win_cfg,
@@ -775,7 +843,7 @@ class Sequencer:
         self.state_ts.append(ts)
 
     def _get_radar_step(self, declare, rcfg):
-        key = ("radar", declare)
+        key = self._ckey("radar", declare, rcfg)
         if key not in self._step_cache:
             self._step_cache[key] = jax.jit(functools.partial(
                 _radar_step, declare=declare, seq_cfg=self.cfg,
@@ -784,7 +852,7 @@ class Sequencer:
         return self._step_cache[key]
 
     def _get_odom_step(self, declare, ocfg):
-        key = ("odom", declare)
+        key = self._ckey("odom", declare, ocfg)
         if key not in self._step_cache:
             self._step_cache[key] = jax.jit(functools.partial(
                 _odom_step, declare=declare, seq_cfg=self.cfg,
@@ -898,14 +966,13 @@ class Sequencer:
         # per scan: the relay's per-message latency, not bytes, bounds the
         # pipeline. The last row carries the scalar block.
         m = self.cfg.max_imu_per_segment
-        # per-Sequencer scratch, reused every scan (true zero-allocation:
-        # jit copies numpy args into the transfer buffer at dispatch, so
-        # host-side reuse after step() returns is safe). Dtype follows the
-        # Sequencer: an f64 oracle run must not round-trip through f32.
-        imu_pack = self._imu_pack_scratch
-        if imu_pack is None or imu_pack.shape[0] != m + 1:
-            imu_pack = np.zeros((m + 1, 8), np.dtype(self.dtype))
-            self._imu_pack_scratch = imu_pack
+        # FRESH buffer per scan — NEVER a reused scratch: jit dispatch can
+        # alias a host numpy argument zero-copy (CPU backend), so mutating
+        # it while the async step still reads corrupts in-flight scalars
+        # (measured: trajectory rows silently written to index 0). Dtype
+        # follows the Sequencer: an f64 oracle run must not round-trip
+        # through f32.
+        imu_pack = np.zeros((m + 1, 8), np.dtype(self.dtype))
         self.imu.segment_into(self.last_state_ts, t_end, imu_pack[:m])
 
         # rebase all timestamps to the segment start ON HOST in f64 — real
@@ -976,6 +1043,168 @@ class Sequencer:
         self.state_ts.append(t_end)
         self._traj_ts.append(t_end)
         self._traj_src.append(self.scan_idx - 1)
+
+    # -------------------------------------------------------- bulk (offline)
+    def add_scans_bulk(self, scans, chunk=32):
+        """Offline batch replay: run the steady-state scan pipeline as a
+        ``lax.scan`` over whole CHUNKS of scans — one device program and one
+        packed H2D transfer per chunk instead of one dispatch + transfer per
+        scan. The math is the streaming path's own ``_scan_step`` (merged
+        marginalization), so trajectories match ``add_scan`` exactly; only
+        the scheduling changes. This is the TPU-idiomatic form of the
+        reference's offline ``mimosa_rosbag`` replay (which also knows the
+        whole bag up front, src/mimosa_rosbag.cpp:49-247): with the
+        per-scan host work (pack, dispatch, python bookkeeping) amortized
+        over a chunk, throughput approaches pure device-step time.
+
+        ``scans``: iterable of dicts with keys ``ts_header``, ``points``,
+        ``t_rel``, optional ``valid`` / ``intensity`` (the
+        ``io.synthetic.generate`` scan layout). All IMU covering the scans
+        must already be in the buffer (offline premise).
+
+        Scans that need any non-steady-state path — initialization, window
+        fill, same-key collapse, out-of-order, missing IMU, a lag-triggered
+        extra marginalization — fall back to :meth:`add_scan` one by one;
+        eligible runs execute in full chunks of exactly ``chunk`` scans
+        (one compiled lax.scan shape) with the tail streamed.
+
+        Pass the same ``step_cache`` dict to repeated Sequencers (see
+        ``__init__``) — re-jitting the bulk program per replay costs
+        seconds through a remote-compile relay.
+        """
+        scans = list(scans)
+        chunk = max(2, int(chunk))
+        i = 0
+        while i < len(scans):
+            run_end = i
+            cursor = self.last_state_ts
+            sim_sts = list(self.state_ts)
+            t_ends = []
+            lag = self.cfg.lag_secs
+            if self.initialized and self.n_active == self.win_cfg.K:
+                while run_end < len(scans):
+                    sc = scans[run_end]
+                    t_rel = np.asarray(sc["t_rel"])
+                    # t over valid finite-t lanes. pack_scan additionally
+                    # masks NaN-position lanes; a caller-supplied validity
+                    # mask is expected to exclude those already (decode/
+                    # point_filters do), and checking xyz finiteness here
+                    # costs ~1 ms/scan of serial host time at full density
+                    # — it capped bulk throughput (measured)
+                    vd = sc.get("valid")
+                    tv = t_rel if vd is None else t_rel[np.asarray(vd, bool)]
+                    tm = float(np.max(np.where(np.isfinite(tv), tv,
+                                               -np.inf))) if tv.size else 0.0
+                    t_end = float(sc["ts_header"]
+                                  + (tm if np.isfinite(tm) else 0.0))
+                    if not (t_end > cursor
+                            and self.imu.covers(cursor, t_end)
+                            and self.imu.count_between(cursor, t_end)
+                            >= self.cfg.min_imu_between_states
+                            and (lag <= 0 or sim_sts[0] >= t_end - lag)):
+                        break
+                    t_ends.append(t_end)
+                    sim_sts = sim_sts[1:] + [t_end]
+                    cursor = t_end
+                    run_end += 1
+            # ONE chunk shape only (each distinct lax.scan length is a
+            # separate compile — seconds through the tunneled relay);
+            # full chunks run bulk, the tail of the run streams
+            while run_end - i >= chunk:
+                self._run_bulk_chunk(scans[i:i + chunk], t_ends[:chunk])
+                del t_ends[:chunk]
+                i += chunk
+            # stream the (known-eligible) tail, or the single scan that
+            # needs a non-steady-state path (init/fill/same-key/OOO/
+            # no-IMU/lag)
+            end = max(run_end, i + 1)
+            while i < min(end, len(scans)):
+                sc = scans[i]
+                self.add_scan(sc["ts_header"], sc["points"], sc["t_rel"],
+                              sc.get("valid"), intensity=sc.get("intensity"))
+                i += 1
+        return
+
+    def _run_bulk_chunk(self, scans, t_ends):
+        """Pack + dispatch one bulk chunk (precondition: every scan is
+        steady-state eligible; ``t_ends`` are the per-scan corrected end
+        timestamps in order)."""
+        C = len(scans)
+        cfg = self.cfg
+        self.counters["scans"] += C
+        while max(self.scan_idx, len(self._traj_ts)) + C >= \
+                self.traj_q.shape[0] - 1:
+            self.traj_q = self._jit_double(self.traj_q)
+            self.traj_p = self._jit_double(self.traj_p)
+            self.debug_rec = self._jit_double(self.debug_rec)
+        n = cfg.max_scan_points
+        ncol = 5 if self.photo_cfg is not None else 4
+        m = cfg.max_imu_per_segment
+        imu_packs = np.zeros((C, m + 1, 8), np.dtype(self.dtype))
+        scan_idx0 = self.scan_idx
+        traj_idx0 = len(self._traj_ts)
+        cursor = self.last_state_ts
+        if cfg.quantize_transfer:
+            scans_q = np.empty((C, n, ncol), np.int16)
+            pt_valids = None
+        else:
+            scans_q = np.empty((C, n, ncol), np.dtype(self.dtype))
+            pt_valids = np.empty((C, n), bool)
+        for k, sc in enumerate(scans):
+            if cfg.quantize_transfer:
+                native.pack_scan(
+                    np.asarray(sc["points"]), np.asarray(sc["t_rel"]),
+                    sc.get("valid"),
+                    sc.get("intensity") if ncol == 5 else None,
+                    cfg.point_skip, n, ncol, cfg.quant_pos_res,
+                    cfg.quant_t_res, cfg.quant_int_res,
+                    dither=cfg.quant_dither, out=scans_q[k])
+            else:
+                # host-side mirror of stage_scan's f32 branch
+                pts_k = np.asarray(sc["points"])
+                t_k = np.asarray(sc["t_rel"])
+                vd_k = sc.get("valid")
+                vd_k = np.isfinite(pts_k).all(-1) if vd_k is None \
+                    else np.asarray(vd_k, bool)
+                it_k = sc.get("intensity")
+                if cfg.point_skip > 1:
+                    s = cfg.point_skip
+                    pts_k, t_k, vd_k = pts_k[::s], t_k[::s], vd_k[::s]
+                    it_k = it_k[::s] if it_k is not None else None
+                pp, tp, vv = _pad_scan(pts_k, t_k, vd_k, n, self.dtype)
+                scans_q[k, :, :3] = pp
+                scans_q[k, :, 3] = np.where(vv, tp, 0.0)
+                if ncol == 5:
+                    col = np.zeros(n)
+                    if it_k is not None:
+                        kk = min(len(it_k), n)
+                        col[:kk] = np.nan_to_num(np.asarray(it_k)[:kk])
+                    scans_q[k, :, 4] = col
+                pt_valids[k] = vv
+            self.imu.segment_into(cursor, t_ends[k], imu_packs[k, :m])
+            # scalar block (see add_scan): n_active after the merged
+            # marginalization, segment-relative t_end / header offset
+            imu_packs[k, m, :6] = [
+                self.win_cfg.K - 1, t_ends[k] - cursor, traj_idx0 + k,
+                scan_idx0 + k, float(scans[k]["ts_header"]) - cursor, 0]
+            cursor = t_ends[k]
+        step = self._get_bulk_step(C)
+        (self.window, self.vmap, self.preints, self.fv, self.features,
+         self.kf_q, self.kf_p, self.kf_count, self.traj_q, self.traj_p,
+         self.debug_rec) = step(
+            self.window, self.vmap, self.preints, self.fv, self.features,
+            self.kf_q, self.kf_p, self.kf_count, self.traj_q, self.traj_p,
+            self.debug_rec, jax.device_put(scans_q),
+            jax.device_put(imu_packs),
+            jax.device_put(pt_valids) if pt_valids is not None else None)
+        self.scan_idx += C
+        self.state_ts = (self.state_ts + t_ends)[C:]
+        self.last_state_ts = t_ends[-1]
+        self._traj_ts.extend(t_ends)
+        self._traj_src.extend(range(scan_idx0, scan_idx0 + C))
+        prev = getattr(self, "_odom_prev", None)
+        if prev is not None:
+            prev["slot"] -= C
 
     def _scan_ooo(self, staged):
         """Out-of-order scan (ref graph/manager.cpp:220-417 applied to the
@@ -1083,7 +1312,7 @@ class Sequencer:
         self.counters["scans_ooo_inserted"] += 1
 
     def _get_scan_ooo_step(self):
-        key = ("scan_ooo",)
+        key = (self._cfg_salt, "scan_ooo")
         if key not in self._step_cache:
             self._step_cache[key] = jax.jit(functools.partial(
                 _scan_ooo_step, seq_cfg=self.cfg, win_cfg=self.win_cfg,
@@ -1104,7 +1333,7 @@ class Sequencer:
         if att is None:
             return
         d = self.dtype
-        key = ("init_inertial",)
+        key = (self._cfg_salt, "init_inertial")
         if key not in self._step_cache:
             self._step_cache[key] = jax.jit(functools.partial(
                 _init_inertial_step, win_cfg=self.win_cfg))
@@ -1135,7 +1364,7 @@ class Sequencer:
         n = self.cfg.max_scan_points
         pts, tp, vd = _pad_scan(points, ts_header + t_abs_rel, valid, n,
                                 self.dtype)
-        key = ("init_lidar",)
+        key = (self._cfg_salt, "init_lidar")
         if key not in self._step_cache:
             self._step_cache[key] = jax.jit(functools.partial(
                 _init_lidar_step, seq_cfg=self.cfg, win_cfg=self.win_cfg,

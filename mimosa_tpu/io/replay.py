@@ -78,7 +78,8 @@ def replay_bag(bag_path, config_path, imu_topic, lidar_topic,
                start_offset=0.0, duration=None, max_scan_points=None,
                verbose=True, platform=None, step_control=None,
                ouster_metadata=None, two_pass=False, smooth=False,
-               debug_stream=None, **seq_overrides):
+               debug_stream=None, bulk=False, bulk_chunk=32,
+               **seq_overrides):
     """``two_pass=True`` = mapping->localization refinement (beyond the
     reference): pass 1 runs the normal SLAM replay building the map; pass 2
     replays the same messages against the FROZEN final map (freeze_map
@@ -91,7 +92,13 @@ def replay_bag(bag_path, config_path, imu_topic, lidar_topic,
     the returned sequencer as ``.smoothed = (ts, q, p)``.
 
     ``debug_stream``: an ``io.viz.DebugStream`` — one JSON debug line per
-    (cadenced) scan for the live dashboard (the debug-topic stand-in)."""
+    (cadenced) scan for the live dashboard (the debug-topic stand-in).
+
+    ``bulk=True`` (lidar+IMU bags only, non-interactive): offline batch
+    mode — scans are collected and executed in ``bulk_chunk``-sized
+    ``lax.scan`` chunks (``Sequencer.add_scans_bulk``), one device
+    dispatch + one packed transfer per chunk instead of per scan. Same
+    math, same trajectory; scheduling only."""
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
@@ -194,11 +201,36 @@ def replay_bag(bag_path, config_path, imu_topic, lidar_topic,
     t0 = msgs[0][2] + start_offset
     t_stop = t0 + duration if duration else float("inf")
 
+    if bulk and (radar_topic or odom_topic):
+        raise ValueError("bulk replay supports lidar+IMU bags only — "
+                         "radar/odometry messages must interleave with "
+                         "scans in arrival order")
+    if bulk and step_control is not None:
+        raise ValueError("bulk replay is non-interactive")
+
     def run_events(s, label=""):
       # scan-collection delay queue: hold scans until IMU passes scan end
       skip_left = dict(skip_left0)
       pending = []
+      batch = []        # bulk mode: decoded scans awaiting a chunk flush
       n_proc = 0
+
+      def flush_bulk(force=False):
+          nonlocal n_proc
+          if not batch:
+              return
+          # flush once IMU passed the newest scan's end (collection-delay
+          # semantics, applied chunk-wise)
+          if not force and (len(batch) < bulk_chunk
+                            or s.imu.t_last is None
+                            or s.imu.t_last < batch[-1][1]):
+              return
+          s.add_scans_bulk([b for b, _ in batch], chunk=bulk_chunk)
+          n_proc += len(batch)
+          batch.clear()
+          if debug_stream is not None:
+              debug_stream.emit(s, force=True)
+
       t_start = time.time()
       for topic, mtype, t, m in msgs:
         if t < t0 or t > t_stop:
@@ -208,6 +240,8 @@ def replay_bag(bag_path, config_path, imu_topic, lidar_topic,
                 skip_left["imu"] -= 1
                 continue
             s.add_imu(m["stamp"] + ts_off["imu"], m["acc"], m["gyro"])
+            if bulk:
+                flush_bulk()
             while pending and s.imu.t_last is not None and \
                     pending[0][0] <= s.imu.t_last:
                 _, st = pending.pop(0)
@@ -243,6 +277,13 @@ def replay_bag(bag_path, config_path, imu_topic, lidar_topic,
             else:
                 ok = pc2.point_filters(d["points"], d["intensity"],
                                        d["ring"], **filters)
+            if bulk:
+                tv = d["t_rel"][ok]
+                t_end = float(stamp + (tv.max() if tv.size else 0.0))
+                batch.append((dict(ts_header=stamp, points=d["points"],
+                                   t_rel=d["t_rel"], valid=ok,
+                                   intensity=d["intensity"]), t_end))
+                continue
             # stage at arrival: the pack + H2D transfer overlap the device
             # work of earlier scans while this one waits for IMU coverage
             st = s.stage_scan(stamp, d["points"], d["t_rel"], ok,
@@ -267,6 +308,8 @@ def replay_bag(bag_path, config_path, imu_topic, lidar_topic,
                 continue
             s.add_odometry(m["stamp"] + ts_off["odom"], m["q"], m["p"],
                            m["pose_cov"])
+      if bulk:
+          flush_bulk(force=True)
       if debug_stream is not None:
           debug_stream.emit(s, force=True)
       wall = time.time() - t_start
@@ -317,6 +360,9 @@ def main():
                          "the replay to this directory")
     ap.add_argument("--interactive", action="store_true",
                     help="SPACE pause, 's' step one scan, 'q' abort")
+    ap.add_argument("--bulk", action="store_true",
+                    help="offline batch mode (lidar+IMU bags): run scans "
+                         "in lax.scan chunks — one dispatch per 32 scans")
     ap.add_argument("--two-pass", action="store_true",
                     help="mapping->localization refinement: replay again "
                          "against the frozen final map")
@@ -351,7 +397,7 @@ def main():
                        else None,
                        ouster_metadata=args.ouster_metadata,
                        two_pass=args.two_pass, smooth=args.smooth,
-                       debug_stream=stream)
+                       debug_stream=stream, bulk=args.bulk)
     if stream is not None:
         stream.close()
         print(f"debug stream -> {args.debug_stream} "

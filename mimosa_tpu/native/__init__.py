@@ -170,7 +170,7 @@ _DITHER_SALTS = (0xA511E9B3, 0x63D83595, 0x1B873593)
 
 
 def pack_scan(points, t_rel, valid, intensity, skip, n_out, ncol,
-              pos_res, t_res, int_res, dither=True):
+              pos_res, t_res, int_res, dither=True, out=None):
     """Fused scan staging pack: point-skip + pad/truncate + int16
     quantization with the t == -32768 invalid-lane sentinel in one native
     pass (the host hot path of Sequencer.stage_scan). Returns
@@ -180,7 +180,9 @@ def pack_scan(points, t_rel, valid, intensity, skip, n_out, ncol,
     quantizer — without it, low-noise scans snap to the quantization
     lattice and the gridded points bias voxel plane normals (staircase
     aliasing) badly enough to halve ICP inliers. Numpy fallback is
-    bit-identical."""
+    bit-identical. ``out`` (int16 [n_out, ncol] C-contiguous, optional)
+    receives the pack in place — the bulk-replay path packs a whole chunk
+    into one preallocated [C, n_out, ncol] array slice by slice."""
     points = np.ascontiguousarray(points)
     t_rel = np.ascontiguousarray(t_rel)
     if points.dtype not in (np.float32, np.float64):
@@ -188,10 +190,14 @@ def pack_scan(points, t_rel, valid, intensity, skip, n_out, ncol,
     if t_rel.dtype not in (np.float32, np.float64):
         t_rel = t_rel.astype(np.float64)
     n_in = len(points)
+    if out is not None:
+        assert out.dtype == np.int16 and out.shape == (n_out, ncol) \
+            and out.flags.c_contiguous
     lib = get_lib()
     if lib is not None:
         dt = {np.dtype(np.float32): 7, np.dtype(np.float64): 8}
-        out = np.empty((n_out, ncol), np.int16)
+        if out is None:
+            out = np.empty((n_out, ncol), np.int16)
         t_end = ctypes.c_double(0.0)
         vd = None
         if valid is not None:
@@ -222,7 +228,10 @@ def pack_scan(points, t_rel, valid, intensity, skip, n_out, ncol,
     t_end = float(t_rel[ok].max()) if ok.any() else 0.0
     pts_s, t_s, ok_s = points[::skip], t_rel[::skip], ok[::skip]
     k = min(len(pts_s), n_out)
-    out = np.zeros((n_out, ncol), np.int16)
+    if out is None:
+        out = np.zeros((n_out, ncol), np.int16)
+    else:
+        out[:] = 0
     out[:, 3] = -32768
     p = np.nan_to_num(pts_s[:k], posinf=0.0, neginf=0.0)
     q = p / pos_res

@@ -85,6 +85,32 @@ def test_bag_cli_roundtrip(tmp_path):
     np.testing.assert_allclose(p2[-1], est_p[-1], atol=1e-5)
 
 
+def test_bag_bulk_matches_streaming(tmp_path):
+    """--bulk runs the same bag through lax.scan chunks; the trajectory
+    must match the streaming replay (same program, batched schedule)."""
+    world = syn.room_world()
+    tc = syn.TrajectoryConfig(t_total=5.0)
+    lm = syn.LidarModel()
+    data = syn.generate(world, tc, lm, seed=0, imu_noise=0.01,
+                        range_noise=0.005)
+    bag = str(tmp_path / "syn.bag")
+    write_synthetic_bag(bag, data)
+    cfgp = str(tmp_path / "params.yaml")
+    with open(cfgp, "w") as f:
+        yaml.safe_dump(SYN_PARAMS, f)
+
+    from mimosa_tpu.io.replay import replay_bag
+    kw = dict(verbose=False, max_scan_points=lm.n_rows * lm.n_cols)
+    s0 = replay_bag(bag, cfgp, "/imu", "/points", **kw)
+    s1 = replay_bag(bag, cfgp, "/imu", "/points", bulk=True, bulk_chunk=8,
+                    **kw)
+    t0, t1 = s0.trajectory, s1.trajectory
+    assert len(t0) == len(t1)
+    for (a_ts, a_p, _), (b_ts, b_p, _) in zip(t0, t1):
+        assert a_ts == b_ts
+        np.testing.assert_allclose(a_p, b_p, atol=5e-3)
+
+
 def test_bag_organize_by_ring_rescues_interleaved(tmp_path):
     """organize_pointcloud_by_ring (ref lidar/manager.cpp:205-242): on a
     ring-INTERLEAVED cloud with point_skip_divisor=4, arrival-order

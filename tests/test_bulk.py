@@ -1,0 +1,109 @@
+"""Bulk (offline batch) replay: lax.scan chunks must reproduce the
+streaming path exactly — same program, different scheduling."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mimosa_tpu.graph import sequencer as seq
+from mimosa_tpu.graph import window as win
+from mimosa_tpu.io import synthetic as syn
+from mimosa_tpu.lidar import geometric as geo
+from mimosa_tpu.mapping import voxel_hash as vh
+
+
+def _make_sequencer(**kw):
+    return seq.Sequencer(
+        seq_cfg=seq.SequencerConfig(
+            max_scan_points=4096, n_geo_points=2048, n_map_points=4096,
+            geo_leaf=0.4, map_insert_leaf=0.15,
+            keyframe_trans_thresh=0.3, keyframe_rot_thresh=0.15,
+            n_gn_iters=2, **kw),
+        win_cfg=win.WindowConfig(K=4),
+        map_cfg=vh.VoxelMapConfig(leaf_size=0.4, capacity_log2=14,
+                                  plane_min_points=5, lru_horizon=0),
+        geo_cfg=geo.GeometricConfig(),
+        dtype=jnp.float32,
+    )
+
+
+@pytest.fixture(scope="module")
+def data():
+    world = syn.room_world()
+    tc = syn.TrajectoryConfig(t_total=6.0)
+    lm = syn.LidarModel(n_rows=16, n_cols=256)
+    return syn.generate(world, tc, lm, seed=0)
+
+
+def _replay(data, bulk, chunk=8, **cfg_kw):
+    s = _make_sequencer(**cfg_kw)
+    imu = data["imu"]
+    s.add_imu_batch(imu["ts"], imu["acc"], imu["gyro"])
+    if bulk:
+        s.add_scans_bulk(data["scans"], chunk=chunk)
+    else:
+        for sc in data["scans"]:
+            s.add_scan(sc["ts_header"], sc["points"], sc["t_rel"],
+                       sc.get("valid"), intensity=sc.get("intensity"))
+    return s
+
+
+def test_bulk_matches_streaming(data):
+    s0 = _replay(data, bulk=False)
+    s1 = _replay(data, bulk=True)
+    t0 = s0.trajectory
+    t1 = s1.trajectory
+    assert len(t0) == len(t1)
+    assert s0.counters["scans"] == s1.counters["scans"]
+    assert s0.scan_idx == s1.scan_idx
+    assert s0.state_ts == pytest.approx(s1.state_ts, abs=0.0)
+    for (ts0, p0, q0), (ts1, p1, q1) in zip(t0, t1):
+        assert ts0 == ts1
+        # identical math, different program boundaries: XLA fusion may
+        # reorder f32 reductions, so allow tiny per-scan drift
+        np.testing.assert_allclose(p0, p1, atol=2e-3)
+        assert min(np.linalg.norm(q0 - q1), np.linalg.norm(q0 + q1)) < 2e-3
+    # debug records follow the same layout/indices
+    d0 = s0.debug_records()
+    d1 = s1.debug_records()
+    assert d0.shape == d1.shape
+    np.testing.assert_allclose(d0[:, 0], d1[:, 0], atol=64)  # inliers
+
+
+def test_bulk_matches_streaming_merged_marg(data):
+    """Against the merged-marginalization streaming variant (the exact
+    same per-scan program the bulk body runs)."""
+    s0 = _replay(data, bulk=False, merge_marginalize=True)
+    s1 = _replay(data, bulk=True)
+    t0 = s0.trajectory
+    t1 = s1.trajectory
+    assert len(t0) == len(t1)
+    for (ts0, p0, q0), (ts1, p1, q1) in zip(t0, t1):
+        assert ts0 == ts1
+        np.testing.assert_allclose(p0, p1, atol=2e-3)
+
+
+def test_bulk_ate_gate(data):
+    s = _replay(data, bulk=True)
+    est_ts = np.asarray([t for t, _, _ in s.trajectory])
+    est_p = np.asarray([p for _, p, _ in s.trajectory])
+    ate = syn.ate_rmse(est_ts, est_p, data["gt"]["ts"], data["gt"]["pos"])
+    assert ate < 0.05
+
+
+def test_bulk_chunk_splitting(data):
+    """Runs split greedily into halving chunks; odd remainders stream."""
+    s = _replay(data, bulk=True, chunk=4)
+    assert s.counters["scans"] == len(data["scans"])
+    assert len(s.trajectory) == len(data["scans"])
+
+
+def test_bulk_lag_fallback(data):
+    """lag_secs forcing extra marginalizations must fall back cleanly."""
+    s0 = _replay(data, bulk=False, lag_secs=0.25)
+    s1 = _replay(data, bulk=True, lag_secs=0.25)
+    assert len(s0.trajectory) == len(s1.trajectory)
+    assert s0.state_ts == pytest.approx(s1.state_ts, abs=0.0)
+    for (ts0, p0, _), (ts1, p1, _) in zip(s0.trajectory, s1.trajectory):
+        assert ts0 == ts1
+        np.testing.assert_allclose(p0, p1, atol=5e-3)
