@@ -64,7 +64,8 @@ def run(platform=None, dtype="float32", t_total=12.0, verbose=True,
             geo_cfg=geo.GeometricConfig(
                 sigma=0.05, loc_count_thresh=50.0, use_4dof=use_4dof,
                 project_degenerate=project_degenerate),
-            dtype=jnp.float32, init_map=init_map,
+            dtype=jnp.float64 if str(dtype) in ("float64", "f64")
+            else jnp.float32, init_map=init_map,
         )
 
     def replay(s):

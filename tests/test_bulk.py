@@ -98,6 +98,16 @@ def test_bulk_chunk_splitting(data):
     assert len(s.trajectory) == len(data["scans"])
 
 
+def test_f64_sequencer_smoke():
+    """The f64 oracle path end-to-end: the per-scan IMU pack follows the
+    Sequencer dtype (advisor r2: a f32 pack silently truncated f64 runs),
+    and the whole scan step runs in f64 (conftest enables x64)."""
+    from mimosa_tpu.io import synthetic_replay as sr
+    out = sr.run(dtype="float64", t_total=4.0, verbose=False)
+    assert out["ate"] < 0.05
+    assert out["sequencer"].window.p.dtype == jnp.float64
+
+
 def test_bulk_lag_fallback(data):
     """lag_secs forcing extra marginalizations must fall back cleanly."""
     s0 = _replay(data, bulk=False, lag_secs=0.25)
