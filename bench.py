@@ -109,11 +109,18 @@ def main():
     scans = data["scans"]
 
     def replay_once(photo=False, n_gn_iters=3, time_host=False):
-        """One full replay; returns (steady-state scans/s, sequencer).
+        """One full replay; returns (steady-state scans/s, sequencer,
+        median per-scan wall ms). The median is the stall-robust figure
+        for stage ATTRIBUTION (one relay hiccup — a late compile-cache
+        query, a server-side GC — inflates a total-time rate 10-20x but
+        moves a median of ~60 samples not at all; observed exactly that
+        in a r3 session: the 0-GN attribution replay's total said 31
+        scans/s while every per-scan sample sat at ~1.5 ms).
         ``time_host=True`` additionally medians the per-scan host time
         (pack + IMU feed — non-blocking work on the critical path)."""
         s = make_sequencer(photo, n_gn_iters=n_gn_iters)
         host_ts = []
+        scan_ts = []
         imu_i = 0
 
         def stage(i):
@@ -133,7 +140,8 @@ def main():
             # host pack + H2D transfer in flight — while scan i runs on
             # device
             st = staged_next
-            th0 = time.perf_counter() if time_host else 0.0
+            th0 = time.perf_counter() if (time_host or t0 is not None) \
+                else 0.0
             j = int(np.searchsorted(imu["ts"], st["t_end"] + 0.03, "right"))
             if j > imu_i:
                 s.add_imu_batch(imu["ts"][imu_i:j], imu["acc"][imu_i:j],
@@ -144,11 +152,14 @@ def main():
                 staged_next = stage(i + 1)
                 if time_host:
                     host_ts.append(time.perf_counter() - th0)
+            if t0 is not None:
+                scan_ts.append(time.perf_counter() - th0)
         jax.block_until_ready(s.window.p)
         rate = (len(scans) - n_warm) / (time.time() - t0)
+        t_med = 1e3 * float(np.median(scan_ts))
         if time_host:
-            return rate, s, 1e3 * float(np.median(host_ts[n_warm:]))
-        return rate, s
+            return rate, s, t_med, 1e3 * float(np.median(host_ts[n_warm:]))
+        return rate, s, t_med
 
     def replay_once_bulk(chunk=32):
         """Offline batch replay: stream the first n_warm scans (init +
@@ -173,9 +184,11 @@ def main():
     # varies +-30% between sessions, so a single cold pass measures session
     # luck, not the chip. Repetition 1 also absorbs all compiles.
     rates = []
+    scan_meds = []
     for _ in range(3):
-        sps_i, s = replay_once()
+        sps_i, s, t_med_i = replay_once()
         rates.append(sps_i)
+        scan_meds.append(t_med_i)
     sps = float(np.median(rates))
 
     # offline bulk mode (same _scan_step math under lax.scan chunks)
@@ -189,7 +202,7 @@ def main():
     # secondary figure: the full PG-LIO geometric+photometric pipeline
     photo_rates = []
     for _ in range(2):
-        sps_p, _s2 = replay_once(photo=True)
+        sps_p, _s2, _tm = replay_once(photo=True)
         photo_rates.append(sps_p)
     sps_photo = float(np.median(photo_rates))
 
@@ -206,13 +219,16 @@ def main():
     # measured with the SAME async pattern as the headline (any blocked
     # measurement on a tunneled device is dominated by ~25 ms sync
     # round-trips, not pipeline time — r2's floor-subtraction numbers
-    # were relay artifacts): t_scan = 1000/rate; t_gn = per-scan diff vs
-    # a 0-GN-iteration replay (the same program minus the GN loop);
-    # t_host = median non-blocking host work per scan (pack + IMU feed +
-    # dispatch python).
-    rate0, _s0, t_host_ms = replay_once(n_gn_iters=0, time_host=True)
-    t_scan_ms = 1e3 / sps
-    t_scan_nogn_ms = 1e3 / rate0
+    # were relay artifacts) and uses per-scan MEDIANS, not total-time
+    # rates (a single relay stall — late compile-cache query, server GC —
+    # inflates a 60-scan total 10-20x; r3 observed rate0=31/s with every
+    # per-scan sample at 1.5 ms): t_scan = median per-scan wall; t_gn =
+    # median diff vs a 0-GN-iteration replay (same program minus the GN
+    # loop); t_host = median non-blocking host work per scan (pack + IMU
+    # feed + dispatch python).
+    _r0, _s0, t_scan_nogn_ms, t_host_ms = replay_once(n_gn_iters=0,
+                                                      time_host=True)
+    t_scan_ms = float(np.median(scan_meds))
     t_gn_ms = max(t_scan_ms - t_scan_nogn_ms, 0.0)
 
     best = max(sps, sps_bulk)
