@@ -378,6 +378,20 @@ class Sequencer:
                 bulk, donate_argnums=tuple(range(11)))
         return self._step_cache[key]
 
+    def _get_bulk_mm_step(self, rcfg):
+        """Multimodal bulk chunk program (see :func:`make_bulk_mm_fn` and
+        :meth:`add_bulk`), cached per (config, radar config)."""
+        key = self._ckey("bulkmm", rcfg)
+        if key not in self._step_cache:
+            self._step_cache[key] = make_bulk_mm_fn(
+                seq_cfg=self.cfg, win_cfg=self.win_cfg,
+                map_cfg=self.map_cfg, geo_cfg=self.geo_cfg,
+                photo_cfg=self.photo_cfg, static_mask=self._static_mask,
+                linearize_fn=self._linearize_fn,
+                map_update_fn=self._map_update_fn, radar_cfg=rcfg,
+                radar_linearize_fn=self._radar_linearize_fn(rcfg))
+        return self._step_cache[key]
+
     # ------------------------------------------------------- logged outputs
     @property
     def trajectory(self):
@@ -1071,59 +1085,63 @@ class Sequencer:
         Pass the same ``step_cache`` dict to repeated Sequencers (see
         ``__init__``) — re-jitting the bulk program per replay costs
         seconds through a remote-compile relay.
+
+        Delegates to :meth:`add_bulk` (scan-only event stream); the
+        chunks stay on the scans-only bulk program.
         """
-        scans = list(scans)
-        chunk = max(2, int(chunk))
-        i = 0
-        while i < len(scans):
-            run_end = i
-            cursor = self.last_state_ts
-            sim_sts = list(self.state_ts)
-            t_ends = []
-            lag = self.cfg.lag_secs
-            if self.initialized and self.n_active == self.win_cfg.K:
-                while run_end < len(scans):
-                    sc = scans[run_end]
-                    t_rel = np.asarray(sc["t_rel"])
-                    # t over valid finite-t lanes. pack_scan additionally
-                    # masks NaN-position lanes; a caller-supplied validity
-                    # mask is expected to exclude those already (decode/
-                    # point_filters do), and checking xyz finiteness here
-                    # costs ~1 ms/scan of serial host time at full density
-                    # — it capped bulk throughput (measured)
-                    vd = sc.get("valid")
-                    tv = t_rel if vd is None else t_rel[np.asarray(vd, bool)]
-                    tm = float(np.max(np.where(np.isfinite(tv), tv,
-                                               -np.inf))) if tv.size else 0.0
-                    t_end = float(sc["ts_header"]
-                                  + (tm if np.isfinite(tm) else 0.0))
-                    if not (t_end > cursor
-                            and self.imu.covers(cursor, t_end)
-                            and self.imu.count_between(cursor, t_end)
-                            >= self.cfg.min_imu_between_states
-                            and (lag <= 0 or sim_sts[0] >= t_end - lag)):
-                        break
-                    t_ends.append(t_end)
-                    sim_sts = sim_sts[1:] + [t_end]
-                    cursor = t_end
-                    run_end += 1
-            # ONE chunk shape only (each distinct lax.scan length is a
-            # separate compile — seconds through the tunneled relay);
-            # full chunks run bulk, the tail of the run streams
-            while run_end - i >= chunk:
-                self._run_bulk_chunk(scans[i:i + chunk], t_ends[:chunk])
-                del t_ends[:chunk]
-                i += chunk
-            # stream the (known-eligible) tail, or the single scan that
-            # needs a non-steady-state path (init/fill/same-key/OOO/
-            # no-IMU/lag)
-            end = max(run_end, i + 1)
-            while i < min(end, len(scans)):
-                sc = scans[i]
-                self.add_scan(sc["ts_header"], sc["points"], sc["t_rel"],
-                              sc.get("valid"), intensity=sc.get("intensity"))
-                i += 1
-        return
+        return self.add_bulk(scans, chunk=chunk)
+
+    @staticmethod
+    def _scan_t_end(sc):
+        """Corrected scan end ts = header + max point t over valid lanes
+        (ref corrected_ts_, src/lidar/manager.cpp:336). Only t_rel is
+        checked for finiteness: pack_scan masks NaN-POSITION lanes on its
+        own, and an isfinite sweep over the full [N,3] f64 cloud costs
+        ~1 ms/scan of serial host time — it capped bulk throughput
+        (measured)."""
+        t_rel = np.asarray(sc["t_rel"])
+        vd = sc.get("valid")
+        tv = t_rel if vd is None else t_rel[np.asarray(vd, bool)]
+        tm = float(np.max(np.where(np.isfinite(tv), tv, -np.inf))) \
+            if tv.size else 0.0
+        return float(sc["ts_header"] + (tm if np.isfinite(tm) else 0.0))
+
+    def _pack_scan_row(self, sc, out_row, ptv_row):
+        """Pack one scan dict into a bulk slab row — the same int16
+        quantized / f32+mask formats as stage_scan, written in place."""
+        cfg = self.cfg
+        n = cfg.max_scan_points
+        ncol = out_row.shape[-1]
+        if cfg.quantize_transfer:
+            native.pack_scan(
+                np.asarray(sc["points"]), np.asarray(sc["t_rel"]),
+                sc.get("valid"),
+                sc.get("intensity") if ncol == 5 else None,
+                cfg.point_skip, n, ncol, cfg.quant_pos_res,
+                cfg.quant_t_res, cfg.quant_int_res,
+                dither=cfg.quant_dither, out=out_row)
+            return
+        # host-side mirror of stage_scan's f32 branch
+        pts_k = np.asarray(sc["points"])
+        t_k = np.asarray(sc["t_rel"])
+        vd_k = sc.get("valid")
+        vd_k = np.isfinite(pts_k).all(-1) if vd_k is None \
+            else np.asarray(vd_k, bool)
+        it_k = sc.get("intensity")
+        if cfg.point_skip > 1:
+            s = cfg.point_skip
+            pts_k, t_k, vd_k = pts_k[::s], t_k[::s], vd_k[::s]
+            it_k = it_k[::s] if it_k is not None else None
+        pp, tp, vv = _pad_scan(pts_k, t_k, vd_k, n, self.dtype)
+        out_row[:, :3] = pp
+        out_row[:, 3] = np.where(vv, tp, 0.0)
+        if ncol == 5:
+            col = np.zeros(n)
+            if it_k is not None:
+                kk = min(len(it_k), n)
+                col[:kk] = np.nan_to_num(np.asarray(it_k)[:kk])
+            out_row[:, 4] = col
+        ptv_row[:] = vv
 
     def _run_bulk_chunk(self, scans, t_ends):
         """Pack + dispatch one bulk chunk (precondition: every scan is
@@ -1151,36 +1169,9 @@ class Sequencer:
             scans_q = np.empty((C, n, ncol), np.dtype(self.dtype))
             pt_valids = np.empty((C, n), bool)
         for k, sc in enumerate(scans):
-            if cfg.quantize_transfer:
-                native.pack_scan(
-                    np.asarray(sc["points"]), np.asarray(sc["t_rel"]),
-                    sc.get("valid"),
-                    sc.get("intensity") if ncol == 5 else None,
-                    cfg.point_skip, n, ncol, cfg.quant_pos_res,
-                    cfg.quant_t_res, cfg.quant_int_res,
-                    dither=cfg.quant_dither, out=scans_q[k])
-            else:
-                # host-side mirror of stage_scan's f32 branch
-                pts_k = np.asarray(sc["points"])
-                t_k = np.asarray(sc["t_rel"])
-                vd_k = sc.get("valid")
-                vd_k = np.isfinite(pts_k).all(-1) if vd_k is None \
-                    else np.asarray(vd_k, bool)
-                it_k = sc.get("intensity")
-                if cfg.point_skip > 1:
-                    s = cfg.point_skip
-                    pts_k, t_k, vd_k = pts_k[::s], t_k[::s], vd_k[::s]
-                    it_k = it_k[::s] if it_k is not None else None
-                pp, tp, vv = _pad_scan(pts_k, t_k, vd_k, n, self.dtype)
-                scans_q[k, :, :3] = pp
-                scans_q[k, :, 3] = np.where(vv, tp, 0.0)
-                if ncol == 5:
-                    col = np.zeros(n)
-                    if it_k is not None:
-                        kk = min(len(it_k), n)
-                        col[:kk] = np.nan_to_num(np.asarray(it_k)[:kk])
-                    scans_q[k, :, 4] = col
-                pt_valids[k] = vv
+            self._pack_scan_row(sc, scans_q[k],
+                                pt_valids[k] if pt_valids is not None
+                                else None)
             self.imu.segment_into(cursor, t_ends[k], imu_packs[k, :m])
             # scalar block (see add_scan): n_active after the merged
             # marginalization, segment-relative t_end / header offset
@@ -1205,6 +1196,216 @@ class Sequencer:
         prev = getattr(self, "_odom_prev", None)
         if prev is not None:
             prev["slot"] -= C
+
+    # ------------------------------------------------- multimodal bulk
+    RADAR_BULK_PAD = 512          # target rows per frame (= add_radar)
+
+    def add_bulk(self, msgs, chunk=32, radar_cfg=None):
+        """Offline MULTIMODAL batch replay: lidar scans + radar Doppler
+        frames execute as mixed ``lax.scan`` chunks — one device dispatch
+        + one packed H2D per chunk, with a per-event ``lax.switch``
+        selecting the scan step or the radar one-step declare/same-key
+        attach (the hornbill LiDAR+Radar+IMU stack; ref radar one-step
+        pattern src/radar/manager.cpp:83-92). Scan-only chunks reuse the
+        scans-only bulk program (:meth:`add_scans_bulk`'s), so lidar+IMU
+        bags pay nothing for the radar machinery.
+
+        ``msgs``: iterable of dicts. ``kind='scan'`` (default): the
+        ``add_scans_bulk`` scan layout. ``kind='radar'``: ``ts``,
+        ``points_r`` [N,3] (radar frame), ``doppler`` [N], optional
+        ``snr_db`` [N]. Events are processed in DISPATCH order — scans
+        at their corrected end ts, radar at its frame ts — which is the
+        order the streaming replay releases them under the scan
+        collection delay (io/replay.py); ``msgs`` may arrive unsorted.
+
+        Events needing a non-steady-state path (init, window fill,
+        same-key scans, out-of-order radar, missing IMU, lag-triggered
+        extra marginalization) fall back to :meth:`add_scan` /
+        :meth:`add_radar` one by one. External odometry has per-message
+        host anchor state and always streams — feed it via
+        :meth:`add_odometry`."""
+        from mimosa_tpu.radar import factor as rad
+
+        rcfg = radar_cfg or getattr(self, "radar_cfg", None) or \
+            rad.RadarConfig()
+        self.radar_cfg = rcfg
+        chunk = max(2, int(chunk))
+        items = []
+        for m_ in msgs:
+            kind = m_.get("kind", "scan")
+            if kind == "scan":
+                items.append((self._scan_t_end(m_), 0, m_))
+            elif kind == "radar":
+                items.append((float(m_["ts"]), 1, m_))
+            else:
+                raise ValueError(
+                    f"add_bulk got kind={kind!r} — only 'scan' and "
+                    "'radar' batch; feed odometry via add_odometry "
+                    "(per-message host anchor state)")
+        items.sort(key=lambda e: (e[0], e[1]))
+        i = 0
+        while i < len(items):
+            # longest steady-state-eligible run from i (same simulation
+            # as add_scans_bulk, plus radar declare/same-key gating)
+            run = []                      # (code, msg, declare_or_attach_ts)
+            cursor = self.last_state_ts
+            sim_sts = list(self.state_ts)
+            lag = self.cfg.lag_secs
+            min_imu = self.cfg.min_imu_between_states
+            if self.initialized and self.n_active == self.win_cfg.K:
+                j = i
+                while j < len(items):
+                    t_disp, is_radar, m_ = items[j]
+                    lag_ok = lag <= 0 or sim_sts[0] >= t_disp - lag
+                    if not (t_disp > cursor
+                            and self.imu.covers(cursor, t_disp)):
+                        break
+                    n_imu = self.imu.count_between(cursor, t_disp)
+                    if not is_radar:
+                        if n_imu < min_imu or not lag_ok:
+                            break         # same-key scan / lag -> stream
+                        run.append((0, m_, t_disp))
+                    elif n_imu >= min_imu:
+                        if not lag_ok:
+                            break
+                        run.append((1, m_, t_disp))
+                    else:
+                        run.append((2, m_, t_disp))   # same-key attach
+                        j += 1
+                        continue
+                    sim_sts = sim_sts[1:] + [t_disp]
+                    cursor = t_disp
+                    j += 1
+            while len(run) >= chunk:
+                batch = run[:chunk]
+                if all(code == 0 for code, _, _ in batch):
+                    self._run_bulk_chunk([m_ for _, m_, _ in batch],
+                                         [t for _, _, t in batch])
+                else:
+                    self._run_bulk_chunk_mm(batch, rcfg)
+                run = run[chunk:]
+                i += chunk
+            # stream the (known-eligible) tail, or the single event that
+            # needs a non-steady-state path
+            end = max(i + len(run), i + 1)
+            while i < min(end, len(items)):
+                _, is_radar, m_ = items[i]
+                if is_radar:
+                    self.add_radar(m_["ts"], m_["points_r"], m_["doppler"],
+                                   m_.get("snr_db"), radar_cfg=rcfg)
+                else:
+                    self.add_scan(m_["ts_header"], m_["points"],
+                                  m_["t_rel"], m_.get("valid"),
+                                  intensity=m_.get("intensity"))
+                i += 1
+        return
+
+    def _run_bulk_chunk_mm(self, events, rcfg):
+        """Pack + dispatch one multimodal bulk chunk. ``events``: list of
+        ``(code, msg, t)`` with code 0 = scan declare, 1 = radar declare,
+        2 = radar same-key attach; ``t`` = the event's declare/attach ts,
+        in dispatch order (precondition: steady-state eligible)."""
+        C = len(events)
+        cfg = self.cfg
+        n_scans = sum(1 for c, _, _ in events if c == 0)
+        self.counters["scans"] += n_scans
+        self.counters.setdefault("radar_frames", 0)
+        self.counters.setdefault("radar_dropped", 0)
+        self.counters["radar_frames"] += C - n_scans
+        while max(self.scan_idx, len(self._traj_ts)) + C >= \
+                self.traj_q.shape[0] - 1:
+            self.traj_q = self._jit_double(self.traj_q)
+            self.traj_p = self._jit_double(self.traj_p)
+            self.debug_rec = self._jit_double(self.debug_rec)
+        n = cfg.max_scan_points
+        ncol = 5 if self.photo_cfg is not None else 4
+        m = cfg.max_imu_per_segment
+        R = self.RADAR_BULK_PAD
+        d = np.dtype(self.dtype)
+        imu_packs = np.zeros((C, m + 1, 8), d)
+        # radar slab [C,R,5]: xyz (NaN = pad, as add_radar's pts_raw),
+        # doppler (0 pad), snr (-1e9 pad)
+        rpacks = np.zeros((C, R, 5), d)
+        rpacks[:, :, 0:3] = np.nan
+        rpacks[:, :, 4] = -1e9
+        kinds = np.zeros(C, np.int32)
+        scan_slots = np.zeros(C, np.int32)
+        if cfg.quantize_transfer:
+            scans_q = np.zeros((max(n_scans, 1), n, ncol), np.int16)
+            scans_q[:, :, 3] = -32768       # unused slabs: all lanes invalid
+            pt_valids = None
+        else:
+            scans_q = np.zeros((max(n_scans, 1), n, ncol), d)
+            pt_valids = np.zeros((max(n_scans, 1), n), bool)
+        scan_idx0 = self.scan_idx
+        traj_idx0 = len(self._traj_ts)
+        cursor = self.last_state_ts
+        K = self.win_cfg.K
+        si = 0
+        declared = []
+        for k, (code, msg, t) in enumerate(events):
+            kinds[k] = code
+            imu_packs[k, m, 2] = traj_idx0 + k
+            if code == 0:
+                self._pack_scan_row(msg, scans_q[si],
+                                    pt_valids[si] if pt_valids is not None
+                                    else None)
+                self.imu.segment_into(cursor, t, imu_packs[k, :m])
+                imu_packs[k, m, 0] = K - 1
+                imu_packs[k, m, 1] = t - cursor
+                imu_packs[k, m, 3] = scan_idx0 + si
+                imu_packs[k, m, 4] = float(msg["ts_header"]) - cursor
+                scan_slots[k] = si
+                si += 1
+                declared.append(t)
+                cursor = t
+            else:
+                pr = np.asarray(msg["points_r"])
+                kk = min(len(pr), R)
+                rpacks[k, :kk, 0:3] = pr[:kk]
+                rpacks[k, :kk, 3] = np.asarray(msg["doppler"])[:kk]
+                sn = msg.get("snr_db")
+                rpacks[k, :kk, 4] = np.asarray(sn)[:kk] \
+                    if sn is not None else 1e9
+                _, mean_gyro = self.imu.mean_measurements(
+                    max(t - 0.02, self.imu.t_first), t)
+                imu_packs[k, m, 5:8] = mean_gyro
+                if code == 1:
+                    self.imu.segment_into(cursor, t, imu_packs[k, :m])
+                    imu_packs[k, m, 0] = K - 1
+                    imu_packs[k, m, 1] = t - cursor
+                    declared.append(t)
+                    cursor = t
+                else:
+                    imu_packs[k, m, 0] = K      # attach to newest slot
+        step = self._get_bulk_mm_step(rcfg)
+        (self.window, self.vmap, self.preints, self.fv, self.features,
+         self.kf_q, self.kf_p, self.kf_count, self.traj_q, self.traj_p,
+         self.debug_rec) = step(
+            self.window, self.vmap, self.preints, self.fv, self.features,
+            self.kf_q, self.kf_p, self.kf_count, self.traj_q, self.traj_p,
+            self.debug_rec, jax.device_put(scans_q),
+            jax.device_put(imu_packs),
+            jax.device_put(pt_valids) if pt_valids is not None else None,
+            jax.device_put(rpacks), jax.device_put(kinds),
+            jax.device_put(scan_slots))
+        self.scan_idx += n_scans
+        self.state_ts = (self.state_ts + declared)[len(declared):]
+        if declared:
+            self.last_state_ts = declared[-1]
+        src = []
+        sj = scan_idx0
+        for code, _, t in events:
+            self._traj_ts.append(t)
+            if code == 0:
+                src.append(sj)
+                sj += 1
+            else:
+                src.append(-1)
+        self._traj_src.extend(src)
+        prev = getattr(self, "_odom_prev", None)
+        if prev is not None:
+            prev["slot"] -= len(declared)
 
     def _scan_ooo(self, staged):
         """Out-of-order scan (ref graph/manager.cpp:220-417 applied to the
@@ -2217,6 +2418,78 @@ def _radar_step(window, preints, fv, accs, gyros, dts, seg_valid, n_active,
                                        res.H, res.b, win_cfg)
     return (window, preints, fv, window.q[slot], window.p[slot],
             res.num_inlier)
+
+
+def make_bulk_mm_fn(*, seq_cfg, win_cfg, map_cfg, geo_cfg, photo_cfg=None,
+                    static_mask=None, linearize_fn=None, map_update_fn=None,
+                    radar_cfg=None, radar_linearize_fn=None):
+    """Build the jitted MULTIMODAL bulk chunk program: one ``lax.scan``
+    over a mixed event stream — steady-state lidar scan steps interleaved
+    with radar one-step Doppler declares / same-key attaches (the hornbill
+    LiDAR+Radar+IMU stack; ref radar one-step pattern,
+    src/radar/manager.cpp:83-92) — selected per event by ``lax.switch``
+    (kind 0 = scan, 1 = radar declare with merged marginalization,
+    2 = radar same-key attach). Only the taken branch executes at runtime;
+    pass-through estimator state of the radar branches aliases in place.
+
+    ``linearize_fn``/``map_update_fn``/``radar_linearize_fn`` default to
+    the single-device kernels; the parallel module's mesh-sharded variants
+    drop in (``Sequencer(mesh=...)`` wires them automatically). Drive via
+    :meth:`Sequencer.add_bulk`; xs layout in
+    :meth:`Sequencer._run_bulk_chunk_mm`."""
+    step_kw = dict(seq_cfg=seq_cfg, win_cfg=win_cfg, map_cfg=map_cfg,
+                   geo_cfg=geo_cfg, photo_cfg=photo_cfg,
+                   static_mask=static_mask, linearize_fn=linearize_fn,
+                   map_update_fn=map_update_fn,
+                   marginalize_first=True, append=True)
+
+    def bulk_mm(window, vmap, preints, fv, features, kf_q, kf_p,
+                kf_count, traj_q, traj_p, debug_rec, scans_q,
+                imu_packs, pt_valids, rpacks, kinds, scan_slots):
+        def body(carry, x):
+            kind, slot_i, imu_f, rpack = x
+            scan_f = jax.lax.dynamic_index_in_dim(
+                scans_q, slot_i, 0, keepdims=False)
+            ptv = (jax.lax.dynamic_index_in_dim(
+                pt_valids, slot_i, 0, keepdims=False)
+                if pt_valids is not None else None)
+
+            def b_scan(c):
+                w, vm, pi, f, ft, kq, kp, kc, tq, tp, db = c
+                return _scan_step(w, vm, pi, f, scan_f, ptv, imu_f,
+                                  kq, kp, kc, tq, tp, db, ft, **step_kw)
+
+            def b_radar(c, declare):
+                w, vm, pi, f, ft, kq, kp, kc, tq, tp, db = c
+                scalars = imu_f[-1]
+                seg = imu_f[:-1]
+                if declare:
+                    # merged marginalization, as in the scan branch
+                    w, pi, f = _marginalize(w, pi, f, win_cfg=win_cfg)
+                w, pi, f, q_new, p_new, _ = _radar_step(
+                    w, pi, f, seg[:, 0:3], seg[:, 3:6], seg[:, 6],
+                    seg[:, 7] > 0.5, scalars[0].astype(jnp.int32),
+                    rpack[:, 0:3], rpack[:, 3], rpack[:, 4],
+                    scalars[5:8], declare=declare, seq_cfg=seq_cfg,
+                    win_cfg=win_cfg, radar_cfg=radar_cfg,
+                    linearize_fn=radar_linearize_fn)
+                ti = scalars[2].astype(jnp.int32)
+                tq = tq.at[ti].set(q_new)
+                tp = tp.at[ti].set(p_new)
+                return (w, vm, pi, f, ft, kq, kp, kc, tq, tp, db)
+
+            out = jax.lax.switch(
+                kind, [b_scan, lambda c: b_radar(c, True),
+                       lambda c: b_radar(c, False)], carry)
+            return out, None
+
+        carry0 = (window, vmap, preints, fv, features, kf_q, kf_p,
+                  kf_count, traj_q, traj_p, debug_rec)
+        carry, _ = jax.lax.scan(
+            body, carry0, (kinds, scan_slots, imu_packs, rpacks))
+        return carry
+
+    return jax.jit(bulk_mm, donate_argnums=tuple(range(11)))
 
 
 def _odom_step(window, preints, fv, accs, gyros, dts, seg_valid, n_active,

@@ -15,6 +15,7 @@ ground truth is given prints ATE/RTE (the dataset_evaluation.py metrics).
 from __future__ import annotations
 
 import argparse
+import heapq
 import time
 
 
@@ -94,11 +95,12 @@ def replay_bag(bag_path, config_path, imu_topic, lidar_topic,
     ``debug_stream``: an ``io.viz.DebugStream`` — one JSON debug line per
     (cadenced) scan for the live dashboard (the debug-topic stand-in).
 
-    ``bulk=True`` (lidar+IMU bags only, non-interactive): offline batch
-    mode — scans are collected and executed in ``bulk_chunk``-sized
-    ``lax.scan`` chunks (``Sequencer.add_scans_bulk``), one device
-    dispatch + one packed transfer per chunk instead of per scan. Same
-    math, same trajectory; scheduling only."""
+    ``bulk=True`` (lidar+IMU and lidar+radar+IMU bags, non-interactive):
+    offline batch mode — scans and radar frames are collected and
+    executed in ``bulk_chunk``-sized ``lax.scan`` chunks
+    (``Sequencer.add_bulk``), one device dispatch + one packed transfer
+    per chunk instead of per message. Same math, same trajectory;
+    scheduling only. External odometry streams (host anchor state)."""
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
@@ -201,17 +203,27 @@ def replay_bag(bag_path, config_path, imu_topic, lidar_topic,
     t0 = msgs[0][2] + start_offset
     t_stop = t0 + duration if duration else float("inf")
 
-    if bulk and (radar_topic or odom_topic):
-        raise ValueError("bulk replay supports lidar+IMU bags only — "
-                         "radar/odometry messages must interleave with "
-                         "scans in arrival order")
+    if bulk and odom_topic:
+        raise ValueError("bulk replay supports lidar+IMU(+radar) bags — "
+                         "external odometry keeps per-message host anchor "
+                         "state and must stream (drop --bulk)")
     if bulk and step_control is not None:
         raise ValueError("bulk replay is non-interactive")
 
     def run_events(s, label=""):
       # scan-collection delay queue: hold scans until IMU passes scan end
       skip_left = dict(skip_left0)
+      # measurement release queue: every exteroceptive message is held
+      # until the IMU stream has passed its dispatch ts (scans: corrected
+      # end ts — the reference's lidar_collection_delay semantics,
+      # mimosa_rosbag.cpp:111-115; radar/odometry: frame ts — the
+      # reference instead consumes them at arrival and EXTRAPOLATES IMU,
+      # imu/manager.cpp:238-357; holding is the drop-free deterministic
+      # equivalent, and makes the streaming dispatch order identical to
+      # add_bulk's canonical order). Heap entries: (release_ts, kind
+      # 0=scan/1=radar/2=odom, arrival seq, payload).
       pending = []
+      pend_seq = 0
       batch = []        # bulk mode: decoded scans awaiting a chunk flush
       n_proc = 0
 
@@ -219,14 +231,15 @@ def replay_bag(bag_path, config_path, imu_topic, lidar_topic,
           nonlocal n_proc
           if not batch:
               return
-          # flush once IMU passed the newest scan's end (collection-delay
-          # semantics, applied chunk-wise)
+          # flush once IMU passed the newest event's dispatch ts
+          # (collection-delay semantics, applied chunk-wise)
           if not force and (len(batch) < bulk_chunk
                             or s.imu.t_last is None
-                            or s.imu.t_last < batch[-1][1]):
+                            or s.imu.t_last < max(t for _, t in batch)):
               return
-          s.add_scans_bulk([b for b, _ in batch], chunk=bulk_chunk)
-          n_proc += len(batch)
+          s.add_bulk([b for b, _ in batch], chunk=bulk_chunk)
+          n_proc += sum(1 for b, _ in batch
+                        if b.get("kind", "scan") == "scan")
           batch.clear()
           if debug_stream is not None:
               debug_stream.emit(s, force=True)
@@ -244,9 +257,15 @@ def replay_bag(bag_path, config_path, imu_topic, lidar_topic,
                 flush_bulk()
             while pending and s.imu.t_last is not None and \
                     pending[0][0] <= s.imu.t_last:
-                _, st = pending.pop(0)
-                s.add_scan(st["ts_header"], staged=st)
-                n_proc += 1
+                _, kind_, _, payload = heapq.heappop(pending)
+                if kind_ == 0:
+                    st = payload
+                    s.add_scan(st["ts_header"], staged=st)
+                    n_proc += 1
+                elif kind_ == 1:
+                    s.add_radar(*payload)
+                else:
+                    s.add_odometry(*payload)
                 if debug_stream is not None:
                     debug_stream.emit(s)
         elif topic == lidar_topic:
@@ -288,7 +307,8 @@ def replay_bag(bag_path, config_path, imu_topic, lidar_topic,
             # work of earlier scans while this one waits for IMU coverage
             st = s.stage_scan(stamp, d["points"], d["t_rel"], ok,
                               intensity=d["intensity"])
-            pending.append((st["t_end"], st))
+            heapq.heappush(pending, (st["t_end"], 0, pend_seq, st))
+            pend_seq += 1
         elif radar_topic and topic == radar_topic:
             if skip_left["radar"] > 0:
                 skip_left["radar"] -= 1
@@ -301,13 +321,23 @@ def replay_bag(bag_path, config_path, imu_topic, lidar_topic,
                         .get("is_exposure_compensated", True)):
                 ts_r += float(raw_cfg["radar"]["manager"]
                               .get("frame_ms", 0.0)) * 1e-3 / 2.0
-            s.add_radar(ts_r, d["points"], dop, snr)
+            if bulk:
+                batch.append((dict(kind="radar", ts=ts_r,
+                                   points_r=d["points"], doppler=dop,
+                                   snr_db=snr), ts_r))
+                continue
+            heapq.heappush(pending,
+                           (ts_r, 1, pend_seq, (ts_r, d["points"], dop,
+                                                snr)))
+            pend_seq += 1
         elif odom_topic and topic == odom_topic:
             if skip_left["odom"] > 0:
                 skip_left["odom"] -= 1
                 continue
-            s.add_odometry(m["stamp"] + ts_off["odom"], m["q"], m["p"],
-                           m["pose_cov"])
+            ts_o = m["stamp"] + ts_off["odom"]
+            heapq.heappush(pending, (ts_o, 2, pend_seq,
+                                     (ts_o, m["q"], m["p"], m["pose_cov"])))
+            pend_seq += 1
       if bulk:
           flush_bulk(force=True)
       if debug_stream is not None:

@@ -111,6 +111,46 @@ def test_bag_bulk_matches_streaming(tmp_path):
         np.testing.assert_allclose(a_p, b_p, atol=5e-3)
 
 
+def test_bag_bulk_radar_matches_streaming(tmp_path):
+    """--bulk on a lidar+radar+IMU bag (the hornbill stack): mixed
+    lax.scan chunks must reproduce the streaming replay's declare /
+    same-key sequence and trajectory."""
+    world = syn.room_world()
+    tc = syn.TrajectoryConfig(t_total=5.0)
+    lm = syn.LidarModel()
+    data = syn.generate(world, tc, lm, seed=0, imu_noise=0.01,
+                        range_noise=0.005)
+    traj = syn.make_trajectory(tc)
+    radar = syn.generate_radar(traj, tc, seed=0)
+    bag = str(tmp_path / "syn_radar.bag")
+    write_synthetic_bag(bag, data, radar_frames=radar)
+    params = dict(SYN_PARAMS)
+    params["radar"] = {"T_B_S": [0, 0, 0, 0, 0, 0, 1],
+                       "manager": {"enabled": True,
+                                   "is_exposure_compensated": True}}
+    cfgp = str(tmp_path / "params.yaml")
+    with open(cfgp, "w") as f:
+        yaml.safe_dump(params, f)
+
+    from mimosa_tpu.io.replay import replay_bag
+    kw = dict(verbose=False, max_scan_points=lm.n_rows * lm.n_cols,
+              radar_topic="/radar")
+    s0 = replay_bag(bag, cfgp, "/imu", "/points", **kw)
+    s1 = replay_bag(bag, cfgp, "/imu", "/points", bulk=True, bulk_chunk=8,
+                    **kw)
+    assert s1.counters.get("radar_frames", 0) == len(radar)
+    assert any("bulkmm" in str(k) for k in s1._step_cache)
+    # the replay release queue dispatches streaming messages in the same
+    # canonical order add_bulk sorts to (scan: t_end, radar: ts), so the
+    # trajectories must agree row by row
+    t0, t1 = s0.trajectory, s1.trajectory
+    assert len(t0) == len(t1)
+    assert s0.counters["scans"] == s1.counters["scans"]
+    for (a_ts, a_p, _), (b_ts, b_p, _) in zip(t0, t1):
+        assert a_ts == b_ts
+        np.testing.assert_allclose(a_p, b_p, atol=5e-3)
+
+
 def test_bag_organize_by_ring_rescues_interleaved(tmp_path):
     """organize_pointcloud_by_ring (ref lidar/manager.cpp:205-242): on a
     ring-INTERLEAVED cloud with point_skip_divisor=4, arrival-order

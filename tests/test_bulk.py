@@ -108,6 +108,74 @@ def test_f64_sequencer_smoke():
     assert out["sequencer"].window.p.dtype == jnp.float64
 
 
+@pytest.fixture(scope="module")
+def radar_frames():
+    tc = syn.TrajectoryConfig(t_total=6.0)
+    traj = syn.make_trajectory(tc)
+    return syn.generate_radar(traj, tc, seed=0)
+
+
+def _replay_mm(data, radar, bulk, chunk=8, **cfg_kw):
+    """Scans + radar through add_bulk, or streaming in the same dispatch
+    order (scan at t_end, radar at ts — what add_bulk sorts to)."""
+    s = _make_sequencer(**cfg_kw)
+    imu = data["imu"]
+    s.add_imu_batch(imu["ts"], imu["acc"], imu["gyro"])
+    msgs = list(data["scans"]) + [
+        dict(kind="radar", ts=fr["ts"], points_r=fr["points"],
+             doppler=fr["doppler"], snr_db=fr["snr_db"]) for fr in radar]
+    if bulk:
+        s.add_bulk(msgs, chunk=chunk)
+        return s
+    items = []
+    for m in msgs:
+        if m.get("kind", "scan") == "scan":
+            items.append((seq.Sequencer._scan_t_end(m), 0, m))
+        else:
+            items.append((float(m["ts"]), 1, m))
+    items.sort(key=lambda e: (e[0], e[1]))
+    for _, is_radar, m in items:
+        if is_radar:
+            s.add_radar(m["ts"], m["points_r"], m["doppler"],
+                        m.get("snr_db"))
+        else:
+            s.add_scan(m["ts_header"], m["points"], m["t_rel"],
+                       m.get("valid"))
+    return s
+
+
+def test_bulk_multimodal_matches_streaming(data, radar_frames):
+    """Mixed scan+radar lax.scan chunks (lidar+radar+IMU, the hornbill
+    stack) must reproduce the streaming declare/same-key sequence."""
+    s0 = _replay_mm(data, radar_frames, bulk=False)
+    s1 = _replay_mm(data, radar_frames, bulk=True)
+    # the multimodal chunk program actually ran (not all-fallback)
+    assert any("bulkmm" in str(k) for k in s1._step_cache)
+    assert s1.counters["radar_frames"] == len(radar_frames)
+    assert s0.counters["scans"] == s1.counters["scans"]
+    assert s0.state_ts == pytest.approx(s1.state_ts, abs=0.0)
+    t0 = s0.trajectory
+    t1 = s1.trajectory
+    assert len(t0) == len(t1)
+    assert s0._traj_src == s1._traj_src
+    for (ts0, p0, q0), (ts1, p1, q1) in zip(t0, t1):
+        assert ts0 == ts1
+        # identical math, different program boundaries (see
+        # test_bulk_matches_streaming)
+        np.testing.assert_allclose(p0, p1, atol=5e-3)
+        assert min(np.linalg.norm(q0 - q1), np.linalg.norm(q0 + q1)) < 5e-3
+
+
+def test_bulk_multimodal_ate_gate(data, radar_frames):
+    s = _replay_mm(data, radar_frames, bulk=True)
+    rows = [(t, p) for (t, p, _), src in zip(s.trajectory, s._traj_src)
+            if src >= 0]
+    est_ts = np.asarray([t for t, _ in rows])
+    est_p = np.asarray([p for _, p in rows])
+    ate = syn.ate_rmse(est_ts, est_p, data["gt"]["ts"], data["gt"]["pos"])
+    assert ate < 0.05
+
+
 def test_bulk_lag_fallback(data):
     """lag_secs forcing extra marginalizations must fall back cleanly."""
     s0 = _replay(data, bulk=False, lag_secs=0.25)
