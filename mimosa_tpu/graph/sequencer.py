@@ -607,7 +607,7 @@ class Sequencer:
             self.counters["radar_dropped"] += 1
             return
 
-        n_pad = 512
+        n_pad = self.RADAR_BULK_PAD
         pts = np.zeros((n_pad, 3), np.float64)
         dop = np.zeros(n_pad)
         snr = np.full(n_pad, -1e9)
@@ -1343,7 +1343,9 @@ class Sequencer:
         K = self.win_cfg.K
         si = 0
         declared = []
-        for k, (code, msg, t) in enumerate(events):
+        tmr = self.timers.stage
+        with tmr("t_bulk_pack"):
+          for k, (code, msg, t) in enumerate(events):
             kinds[k] = code
             imu_packs[k, m, 2] = traj_idx0 + k
             if code == 0:
@@ -1379,16 +1381,18 @@ class Sequencer:
                 else:
                     imu_packs[k, m, 0] = K      # attach to newest slot
         step = self._get_bulk_mm_step(rcfg)
-        (self.window, self.vmap, self.preints, self.fv, self.features,
-         self.kf_q, self.kf_p, self.kf_count, self.traj_q, self.traj_p,
-         self.debug_rec) = step(
-            self.window, self.vmap, self.preints, self.fv, self.features,
-            self.kf_q, self.kf_p, self.kf_count, self.traj_q, self.traj_p,
-            self.debug_rec, jax.device_put(scans_q),
-            jax.device_put(imu_packs),
-            jax.device_put(pt_valids) if pt_valids is not None else None,
-            jax.device_put(rpacks), jax.device_put(kinds),
-            jax.device_put(scan_slots))
+        with tmr("t_bulk_put"):
+            dev = (jax.device_put(scans_q), jax.device_put(imu_packs),
+                   jax.device_put(pt_valids) if pt_valids is not None
+                   else None, jax.device_put(rpacks),
+                   jax.device_put(kinds), jax.device_put(scan_slots))
+        with tmr("t_bulk_dispatch"):
+            (self.window, self.vmap, self.preints, self.fv, self.features,
+             self.kf_q, self.kf_p, self.kf_count, self.traj_q, self.traj_p,
+             self.debug_rec) = step(
+                self.window, self.vmap, self.preints, self.fv,
+                self.features, self.kf_q, self.kf_p, self.kf_count,
+                self.traj_q, self.traj_p, self.debug_rec, *dev)
         self.scan_idx += n_scans
         self.state_ts = (self.state_ts + declared)[len(declared):]
         if declared:

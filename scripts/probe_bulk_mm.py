@@ -72,9 +72,13 @@ def main():
                      seq.Sequencer._scan_t_end(m) > s.last_state_ts)]
         t0 = time.time()
         s.add_bulk(later, chunk=chunk)
+        t_host = time.time() - t0
         jax.block_until_ready(s.window.p)
         dt = time.time() - t0
         n_sc = sum(1 for m in later if m.get("kind", "scan") == "scan")
+        print(f"    host/dispatch {1e3 * t_host:.0f} ms, device drain "
+              f"{1e3 * (dt - t_host):.0f} ms over {len(later)} events",
+              flush=True)
         return len(later) / dt, n_sc / dt, s
 
     def replay_scans_only(chunk=32):
@@ -97,14 +101,13 @@ def main():
               f"radar={s.counters.get('radar_frames', 0)} "
               f"radar_dropped={s.counters.get('radar_dropped', 0)}",
               flush=True)
+        for name, st in sorted(s.timers.summary().items()):
+            if name.startswith("t_bulk"):
+                print(f"    {name}: {st['total_s'] * 1e3:.0f} ms "
+                      f"({st['count']} chunks)", flush=True)
     for rep in range(3):
         print(f"[scans-only rep{rep}] {replay_scans_only():.1f} scans/s "
               "(same session, for comparison)", flush=True)
-    # larger chunks amortize dispatch further — is the mm path
-    # host/dispatch bound?
-    for chunk in (16, 64):
-        ev_s, sc_s, _s2 = replay_mm(chunk=chunk)
-        print(f"[mm chunk={chunk}] {ev_s:.1f} events/s", flush=True)
 
     est = [(t, p) for (t, p, _), src in zip(s.trajectory, s._traj_src)
            if src >= 0]
