@@ -378,10 +378,11 @@ class Sequencer:
                 bulk, donate_argnums=tuple(range(11)))
         return self._step_cache[key]
 
-    def _get_bulk_mm_step(self, rcfg):
+    def _get_bulk_mm_step(self, rcfg, ocfg):
         """Multimodal bulk chunk program (see :func:`make_bulk_mm_fn` and
-        :meth:`add_bulk`), cached per (config, radar config)."""
-        key = self._ckey("bulkmm", rcfg)
+        :meth:`add_bulk`), cached per (config, radar config, odom
+        config)."""
+        key = self._ckey("bulkmm", rcfg, ocfg)
         if key not in self._step_cache:
             self._step_cache[key] = make_bulk_mm_fn(
                 seq_cfg=self.cfg, win_cfg=self.win_cfg,
@@ -389,7 +390,8 @@ class Sequencer:
                 photo_cfg=self.photo_cfg, static_mask=self._static_mask,
                 linearize_fn=self._linearize_fn,
                 map_update_fn=self._map_update_fn, radar_cfg=rcfg,
-                radar_linearize_fn=self._radar_linearize_fn(rcfg))
+                radar_linearize_fn=self._radar_linearize_fn(rcfg),
+                odom_cfg=ocfg)
         return self._step_cache[key]
 
     # ------------------------------------------------------- logged outputs
@@ -1200,35 +1202,42 @@ class Sequencer:
     # ------------------------------------------------- multimodal bulk
     RADAR_BULK_PAD = 512          # target rows per frame (= add_radar)
 
-    def add_bulk(self, msgs, chunk=32, radar_cfg=None):
-        """Offline MULTIMODAL batch replay: lidar scans + radar Doppler
-        frames execute as mixed ``lax.scan`` chunks — one device dispatch
-        + one packed H2D per chunk, with a per-event ``lax.switch``
-        selecting the scan step or the radar one-step declare/same-key
-        attach (the hornbill LiDAR+Radar+IMU stack; ref radar one-step
-        pattern src/radar/manager.cpp:83-92). Scan-only chunks reuse the
-        scans-only bulk program (:meth:`add_scans_bulk`'s), so lidar+IMU
-        bags pay nothing for the radar machinery.
+    def add_bulk(self, msgs, chunk=32, radar_cfg=None, odom_cfg=None):
+        """Offline MULTIMODAL batch replay: lidar scans, radar Doppler
+        frames and external-odometry poses execute as mixed ``lax.scan``
+        chunks — one device dispatch + one packed H2D per chunk, with a
+        per-event ``lax.switch`` selecting the scan step, the radar
+        one-step declare / same-key attach (ref src/radar/manager.cpp:
+        83-92) or the odometry between factor (ref src/odometry/
+        manager.cpp:43-58) — the full 4-modality stack of the reference's
+        hornbill/euroc configs. Scan-only chunks reuse the scans-only
+        bulk program (:meth:`add_scans_bulk`'s), so lidar+IMU bags pay
+        nothing for the extra machinery.
 
         ``msgs``: iterable of dicts. ``kind='scan'`` (default): the
         ``add_scans_bulk`` scan layout. ``kind='radar'``: ``ts``,
         ``points_r`` [N,3] (radar frame), ``doppler`` [N], optional
-        ``snr_db`` [N]. Events are processed in DISPATCH order — scans
-        at their corrected end ts, radar at its frame ts — which is the
-        order the streaming replay releases them under the scan
-        collection delay (io/replay.py); ``msgs`` may arrive unsorted.
+        ``snr_db`` [N]. ``kind='odom'``: ``ts``, ``q`` [4] wxyz, ``p``
+        [3] (sensor-frame pose), optional ``cov6``. Events are processed
+        in DISPATCH order — scans at their corrected end ts, radar/odom
+        at frame ts — which is the order the streaming replay releases
+        them under the IMU-coverage queue (io/replay.py); ``msgs`` may
+        arrive unsorted.
 
         Events needing a non-steady-state path (init, window fill,
         same-key scans, out-of-order radar, missing IMU, lag-triggered
-        extra marginalization) fall back to :meth:`add_scan` /
-        :meth:`add_radar` one by one. External odometry has per-message
-        host anchor state and always streams — feed it via
-        :meth:`add_odometry`."""
+        extra marginalization, odometry anchor establishment or
+        D-optimality rejection) fall back to the streaming methods one by
+        one."""
+        from mimosa_tpu.odometry import factor as odo
         from mimosa_tpu.radar import factor as rad
 
         rcfg = radar_cfg or getattr(self, "radar_cfg", None) or \
             rad.RadarConfig()
         self.radar_cfg = rcfg
+        ocfg = odom_cfg or getattr(self, "odom_cfg", None) or \
+            odo.OdometryConfig()
+        self.odom_cfg = ocfg
         chunk = max(2, int(chunk))
         items = []
         for m_ in msgs:
@@ -1237,62 +1246,90 @@ class Sequencer:
                 items.append((self._scan_t_end(m_), 0, m_))
             elif kind == "radar":
                 items.append((float(m_["ts"]), 1, m_))
+            elif kind == "odom":
+                items.append((float(m_["ts"]), 2, m_))
             else:
-                raise ValueError(
-                    f"add_bulk got kind={kind!r} — only 'scan' and "
-                    "'radar' batch; feed odometry via add_odometry "
-                    "(per-message host anchor state)")
+                raise ValueError(f"add_bulk got unknown kind={kind!r}")
         items.sort(key=lambda e: (e[0], e[1]))
+        K = self.win_cfg.K
         i = 0
         while i < len(items):
             # longest steady-state-eligible run from i (same simulation
-            # as add_scans_bulk, plus radar declare/same-key gating)
-            run = []                      # (code, msg, declare_or_attach_ts)
+            # as the streaming paths: declare/same-key gating, lag, and
+            # the odometry anchor-slot mirror)
+            run = []          # (code, msg, declare_or_attach_ts, aux)
             cursor = self.last_state_ts
             sim_sts = list(self.state_ts)
+            prev_o = getattr(self, "_odom_prev", None)
+            sim_oslot = prev_o["slot"] if prev_o is not None else None
             lag = self.cfg.lag_secs
             min_imu = self.cfg.min_imu_between_states
             if self.initialized and self.n_active == self.win_cfg.K:
                 j = i
                 while j < len(items):
-                    t_disp, is_radar, m_ = items[j]
+                    t_disp, mkind, m_ = items[j]
                     lag_ok = lag <= 0 or sim_sts[0] >= t_disp - lag
                     if not (t_disp > cursor
                             and self.imu.covers(cursor, t_disp)):
                         break
                     n_imu = self.imu.count_between(cursor, t_disp)
-                    if not is_radar:
-                        if n_imu < min_imu or not lag_ok:
+                    declare = n_imu >= min_imu
+                    if mkind == 0:
+                        if not declare or not lag_ok:
                             break         # same-key scan / lag -> stream
-                        run.append((0, m_, t_disp))
-                    elif n_imu >= min_imu:
-                        if not lag_ok:
-                            break
-                        run.append((1, m_, t_disp))
-                    else:
-                        run.append((2, m_, t_disp))   # same-key attach
+                        run.append((0, m_, t_disp, None))
+                    elif mkind == 1:
+                        if declare:
+                            if not lag_ok:
+                                break
+                            run.append((1, m_, t_disp, None))
+                        else:
+                            run.append((2, m_, t_disp, None))  # attach
+                            j += 1
+                            continue
+                    else:                 # odometry between factor
+                        cov = m_.get("cov6")
+                        if cov is not None and odo.d_optimality(
+                                np.asarray(cov)) > ocfg.max_d_optimality:
+                            break         # stream -> add_odometry drops it
+                        if sim_oslot is None:
+                            break         # anchor establishment path
+                        pslot = sim_oslot - 1 if declare else sim_oslot
+                        if pslot < 0 or (declare and not lag_ok):
+                            break         # anchor re-establishment path
+                        run.append((3 if declare else 4, m_, t_disp,
+                                    pslot))
+                        sim_oslot = K - 1
+                        if declare:
+                            sim_sts = sim_sts[1:] + [t_disp]
+                            cursor = t_disp
                         j += 1
                         continue
+                    if sim_oslot is not None:
+                        sim_oslot -= 1    # the declare's marginalization
                     sim_sts = sim_sts[1:] + [t_disp]
                     cursor = t_disp
                     j += 1
             while len(run) >= chunk:
                 batch = run[:chunk]
-                if all(code == 0 for code, _, _ in batch):
-                    self._run_bulk_chunk([m_ for _, m_, _ in batch],
-                                         [t for _, _, t in batch])
+                if all(code == 0 for code, _, _, _ in batch):
+                    self._run_bulk_chunk([m_ for _, m_, _, _ in batch],
+                                         [t for _, _, t, _ in batch])
                 else:
-                    self._run_bulk_chunk_mm(batch, rcfg)
+                    self._run_bulk_chunk_mm(batch, rcfg, ocfg)
                 run = run[chunk:]
                 i += chunk
             # stream the (known-eligible) tail, or the single event that
             # needs a non-steady-state path
             end = max(i + len(run), i + 1)
             while i < min(end, len(items)):
-                _, is_radar, m_ = items[i]
-                if is_radar:
+                _, mkind, m_ = items[i]
+                if mkind == 1:
                     self.add_radar(m_["ts"], m_["points_r"], m_["doppler"],
                                    m_.get("snr_db"), radar_cfg=rcfg)
+                elif mkind == 2:
+                    self.add_odometry(m_["ts"], m_["q"], m_["p"],
+                                      m_.get("cov6"), odom_cfg=ocfg)
                 else:
                     self.add_scan(m_["ts_header"], m_["points"],
                                   m_["t_rel"], m_.get("valid"),
@@ -1300,18 +1337,26 @@ class Sequencer:
                 i += 1
         return
 
-    def _run_bulk_chunk_mm(self, events, rcfg):
+    def _run_bulk_chunk_mm(self, events, rcfg, ocfg):
         """Pack + dispatch one multimodal bulk chunk. ``events``: list of
-        ``(code, msg, t)`` with code 0 = scan declare, 1 = radar declare,
-        2 = radar same-key attach; ``t`` = the event's declare/attach ts,
-        in dispatch order (precondition: steady-state eligible)."""
+        ``(code, msg, t, aux)`` with code 0 = scan declare, 1 = radar
+        declare, 2 = radar same-key attach, 3 = odometry declare,
+        4 = odometry attach; ``t`` = the event's declare/attach ts, in
+        dispatch order; ``aux`` = the odometry anchor slot (after the
+        event's own marginalization). Precondition: steady-state
+        eligible."""
         C = len(events)
         cfg = self.cfg
-        n_scans = sum(1 for c, _, _ in events if c == 0)
+        n_scans = sum(1 for c, _, _, _ in events if c == 0)
+        n_odom = sum(1 for c, _, _, _ in events if c >= 3)
         self.counters["scans"] += n_scans
         self.counters.setdefault("radar_frames", 0)
         self.counters.setdefault("radar_dropped", 0)
-        self.counters["radar_frames"] += C - n_scans
+        self.counters["radar_frames"] += C - n_scans - n_odom
+        if n_odom:
+            self.counters.setdefault("odom_msgs", 0)
+            self.counters.setdefault("odom_dropped", 0)
+            self.counters["odom_msgs"] += n_odom
         while max(self.scan_idx, len(self._traj_ts)) + C >= \
                 self.traj_q.shape[0] - 1:
             self.traj_q = self._jit_double(self.traj_q)
@@ -1322,7 +1367,9 @@ class Sequencer:
         m = cfg.max_imu_per_segment
         R = self.RADAR_BULK_PAD
         d = np.dtype(self.dtype)
-        imu_packs = np.zeros((C, m + 1, 8), d)
+        # rows [0:m) IMU segment, [m] scalar block, [m+1]/[m+2] odometry
+        # prev/cur sensor pose (see make_bulk_mm_fn)
+        imu_packs = np.zeros((C, m + 3, 8), d)
         # radar slab [C,R,5]: xyz (NaN = pad, as add_radar's pts_raw),
         # doppler (0 pad), snr (-1e9 pad)
         rpacks = np.zeros((C, R, 5), d)
@@ -1343,9 +1390,10 @@ class Sequencer:
         K = self.win_cfg.K
         si = 0
         declared = []
+        odom_last = None                  # (event idx, msg) of last odom
         tmr = self.timers.stage
         with tmr("t_bulk_pack"):
-          for k, (code, msg, t) in enumerate(events):
+          for k, (code, msg, t, aux) in enumerate(events):
             kinds[k] = code
             imu_packs[k, m, 2] = traj_idx0 + k
             if code == 0:
@@ -1361,7 +1409,7 @@ class Sequencer:
                 si += 1
                 declared.append(t)
                 cursor = t
-            else:
+            elif code in (1, 2):
                 pr = np.asarray(msg["points_r"])
                 kk = min(len(pr), R)
                 rpacks[k, :kk, 0:3] = pr[:kk]
@@ -1380,7 +1428,27 @@ class Sequencer:
                     cursor = t
                 else:
                     imu_packs[k, m, 0] = K      # attach to newest slot
-        step = self._get_bulk_mm_step(rcfg)
+            else:
+                # odometry between factor: anchor pose from the previous
+                # odometry message (streaming mirror: _odom_prev)
+                prev_o = odom_last[1] if odom_last is not None \
+                    else self._odom_prev
+                imu_packs[k, m + 1, :4] = np.asarray(prev_o["q"])
+                imu_packs[k, m + 1, 4:7] = np.asarray(prev_o["t"])
+                imu_packs[k, m + 2, :4] = np.asarray(msg["q"])
+                imu_packs[k, m + 2, 4:7] = np.asarray(msg["p"])
+                imu_packs[k, m, 3] = aux          # anchor slot
+                if code == 3:
+                    self.imu.segment_into(cursor, t, imu_packs[k, :m])
+                    imu_packs[k, m, 0] = K - 1
+                    imu_packs[k, m, 1] = t - cursor
+                    declared.append(t)
+                    cursor = t
+                else:
+                    imu_packs[k, m, 0] = K
+                odom_last = (k, dict(q=np.asarray(msg["q"]),
+                                     t=np.asarray(msg["p"])))
+        step = self._get_bulk_mm_step(rcfg, ocfg)
         with tmr("t_bulk_put"):
             dev = (jax.device_put(scans_q), jax.device_put(imu_packs),
                    jax.device_put(pt_valids) if pt_valids is not None
@@ -1399,7 +1467,7 @@ class Sequencer:
             self.last_state_ts = declared[-1]
         src = []
         sj = scan_idx0
-        for code, _, t in events:
+        for code, _, t, _ in events:
             self._traj_ts.append(t)
             if code == 0:
                 src.append(sj)
@@ -1407,9 +1475,17 @@ class Sequencer:
             else:
                 src.append(-1)
         self._traj_src.extend(src)
-        prev = getattr(self, "_odom_prev", None)
-        if prev is not None:
-            prev["slot"] -= len(declared)
+        if odom_last is not None:
+            # anchor = the chunk's last odometry pose; its slot is the
+            # newest state at that event, shifted by later marginalizations
+            k0 = odom_last[0]
+            n_after = sum(1 for c, _, _, _ in events[k0 + 1:]
+                          if c in (0, 1, 3))
+            self._odom_prev = dict(slot=K - 1 - n_after, **odom_last[1])
+        else:
+            prev = getattr(self, "_odom_prev", None)
+            if prev is not None:
+                prev["slot"] -= len(declared)
 
     def _scan_ooo(self, staged):
         """Out-of-order scan (ref graph/manager.cpp:220-417 applied to the
@@ -2426,32 +2502,46 @@ def _radar_step(window, preints, fv, accs, gyros, dts, seg_valid, n_active,
 
 def make_bulk_mm_fn(*, seq_cfg, win_cfg, map_cfg, geo_cfg, photo_cfg=None,
                     static_mask=None, linearize_fn=None, map_update_fn=None,
-                    radar_cfg=None, radar_linearize_fn=None):
+                    radar_cfg=None, radar_linearize_fn=None, odom_cfg=None):
     """Build the jitted MULTIMODAL bulk chunk program: one ``lax.scan``
     over a mixed event stream — steady-state lidar scan steps interleaved
     with radar one-step Doppler declares / same-key attaches (the hornbill
     LiDAR+Radar+IMU stack; ref radar one-step pattern,
-    src/radar/manager.cpp:83-92) — selected per event by ``lax.switch``
-    (kind 0 = scan, 1 = radar declare with merged marginalization,
-    2 = radar same-key attach). Only the taken branch executes at runtime;
-    pass-through estimator state of the radar branches aliases in place.
+    src/radar/manager.cpp:83-92) and external-odometry between factors
+    (ref src/odometry/manager.cpp:43-58) — selected per event by
+    ``lax.switch`` (kind 0 = scan, 1 = radar declare with merged
+    marginalization, 2 = radar same-key attach, 3 = odometry declare,
+    4 = odometry attach). Only the taken branch executes at runtime;
+    pass-through estimator state of the small branches aliases in place.
 
     ``linearize_fn``/``map_update_fn``/``radar_linearize_fn`` default to
     the single-device kernels; the parallel module's mesh-sharded variants
     drop in (``Sequencer(mesh=...)`` wires them automatically). Drive via
     :meth:`Sequencer.add_bulk`; xs layout in
     :meth:`Sequencer._run_bulk_chunk_mm`."""
+    if radar_cfg is None:
+        from mimosa_tpu.radar import factor as rad
+        radar_cfg = rad.RadarConfig()
+    if odom_cfg is None:
+        from mimosa_tpu.odometry import factor as odo
+        odom_cfg = odo.OdometryConfig()
     step_kw = dict(seq_cfg=seq_cfg, win_cfg=win_cfg, map_cfg=map_cfg,
                    geo_cfg=geo_cfg, photo_cfg=photo_cfg,
                    static_mask=static_mask, linearize_fn=linearize_fn,
                    map_update_fn=map_update_fn,
                    marginalize_first=True, append=True)
+    m_seg = seq_cfg.max_imu_per_segment
 
     def bulk_mm(window, vmap, preints, fv, features, kf_q, kf_p,
                 kf_count, traj_q, traj_p, debug_rec, scans_q,
                 imu_packs, pt_valids, rpacks, kinds, scan_slots):
         def body(carry, x):
-            kind, slot_i, imu_f, rpack = x
+            kind, slot_i, imu_full, rpack = x
+            # imu_full rows: [0:m) segment, [m] scalar block, [m+1]/[m+2]
+            # odometry prev/cur sensor pose (zeros for scan/radar events)
+            imu_f = imu_full[:m_seg + 1]
+            scalars = imu_full[m_seg]
+            seg = imu_full[:m_seg]
             scan_f = jax.lax.dynamic_index_in_dim(
                 scans_q, slot_i, 0, keepdims=False)
             ptv = (jax.lax.dynamic_index_in_dim(
@@ -2463,10 +2553,12 @@ def make_bulk_mm_fn(*, seq_cfg, win_cfg, map_cfg, geo_cfg, photo_cfg=None,
                 return _scan_step(w, vm, pi, f, scan_f, ptv, imu_f,
                                   kq, kp, kc, tq, tp, db, ft, **step_kw)
 
+            def traj_write(tq, tp, q_new, p_new):
+                ti = scalars[2].astype(jnp.int32)
+                return tq.at[ti].set(q_new), tp.at[ti].set(p_new)
+
             def b_radar(c, declare):
                 w, vm, pi, f, ft, kq, kp, kc, tq, tp, db = c
-                scalars = imu_f[-1]
-                seg = imu_f[:-1]
                 if declare:
                     # merged marginalization, as in the scan branch
                     w, pi, f = _marginalize(w, pi, f, win_cfg=win_cfg)
@@ -2477,14 +2569,30 @@ def make_bulk_mm_fn(*, seq_cfg, win_cfg, map_cfg, geo_cfg, photo_cfg=None,
                     scalars[5:8], declare=declare, seq_cfg=seq_cfg,
                     win_cfg=win_cfg, radar_cfg=radar_cfg,
                     linearize_fn=radar_linearize_fn)
-                ti = scalars[2].astype(jnp.int32)
-                tq = tq.at[ti].set(q_new)
-                tp = tp.at[ti].set(p_new)
+                tq, tp = traj_write(tq, tp, q_new, p_new)
+                return (w, vm, pi, f, ft, kq, kp, kc, tq, tp, db)
+
+            def b_odom(c, declare):
+                w, vm, pi, f, ft, kq, kp, kc, tq, tp, db = c
+                if declare:
+                    w, pi, f = _marginalize(w, pi, f, win_cfg=win_cfg)
+                prev_pose = imu_full[m_seg + 1]
+                cur_pose = imu_full[m_seg + 2]
+                w, pi, f, q_new, p_new = _odom_step(
+                    w, pi, f, seg[:, 0:3], seg[:, 3:6], seg[:, 6],
+                    seg[:, 7] > 0.5, scalars[0].astype(jnp.int32),
+                    prev_pose[:4], prev_pose[4:7],
+                    cur_pose[:4], cur_pose[4:7],
+                    scalars[3].astype(jnp.int32), declare=declare,
+                    seq_cfg=seq_cfg, win_cfg=win_cfg, odom_cfg=odom_cfg)
+                tq, tp = traj_write(tq, tp, q_new, p_new)
                 return (w, vm, pi, f, ft, kq, kp, kc, tq, tp, db)
 
             out = jax.lax.switch(
                 kind, [b_scan, lambda c: b_radar(c, True),
-                       lambda c: b_radar(c, False)], carry)
+                       lambda c: b_radar(c, False),
+                       lambda c: b_odom(c, True),
+                       lambda c: b_odom(c, False)], carry)
             return out, None
 
         carry0 = (window, vmap, preints, fv, features, kf_q, kf_p,

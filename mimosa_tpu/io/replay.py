@@ -95,12 +95,11 @@ def replay_bag(bag_path, config_path, imu_topic, lidar_topic,
     ``debug_stream``: an ``io.viz.DebugStream`` — one JSON debug line per
     (cadenced) scan for the live dashboard (the debug-topic stand-in).
 
-    ``bulk=True`` (lidar+IMU and lidar+radar+IMU bags, non-interactive):
-    offline batch mode — scans and radar frames are collected and
-    executed in ``bulk_chunk``-sized ``lax.scan`` chunks
-    (``Sequencer.add_bulk``), one device dispatch + one packed transfer
-    per chunk instead of per message. Same math, same trajectory;
-    scheduling only. External odometry streams (host anchor state)."""
+    ``bulk=True`` (non-interactive): offline batch mode — scans, radar
+    frames and external-odometry poses are collected and executed in
+    ``bulk_chunk``-sized ``lax.scan`` chunks (``Sequencer.add_bulk``),
+    one device dispatch + one packed transfer per chunk instead of per
+    message. Same math, same trajectory; scheduling only."""
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
@@ -203,10 +202,6 @@ def replay_bag(bag_path, config_path, imu_topic, lidar_topic,
     t0 = msgs[0][2] + start_offset
     t_stop = t0 + duration if duration else float("inf")
 
-    if bulk and odom_topic:
-        raise ValueError("bulk replay supports lidar+IMU(+radar) bags — "
-                         "external odometry keeps per-message host anchor "
-                         "state and must stream (drop --bulk)")
     if bulk and step_control is not None:
         raise ValueError("bulk replay is non-interactive")
 
@@ -335,6 +330,10 @@ def replay_bag(bag_path, config_path, imu_topic, lidar_topic,
                 skip_left["odom"] -= 1
                 continue
             ts_o = m["stamp"] + ts_off["odom"]
+            if bulk:
+                batch.append((dict(kind="odom", ts=ts_o, q=m["q"],
+                                   p=m["p"], cov6=m["pose_cov"]), ts_o))
+                continue
             heapq.heappush(pending, (ts_o, 2, pend_seq,
                                      (ts_o, m["q"], m["p"], m["pose_cov"])))
             pend_seq += 1

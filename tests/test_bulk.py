@@ -115,29 +115,34 @@ def radar_frames():
     return syn.generate_radar(traj, tc, seed=0)
 
 
-def _replay_mm(data, radar, bulk, chunk=8, **cfg_kw):
-    """Scans + radar through add_bulk, or streaming in the same dispatch
-    order (scan at t_end, radar at ts — what add_bulk sorts to)."""
+def _replay_mm(data, radar, bulk, chunk=8, odom=(), **cfg_kw):
+    """Scans + radar (+ odometry) through add_bulk, or streaming in the
+    same dispatch order (scan at t_end, radar/odom at ts — what add_bulk
+    sorts to)."""
     s = _make_sequencer(**cfg_kw)
     imu = data["imu"]
     s.add_imu_batch(imu["ts"], imu["acc"], imu["gyro"])
     msgs = list(data["scans"]) + [
         dict(kind="radar", ts=fr["ts"], points_r=fr["points"],
-             doppler=fr["doppler"], snr_db=fr["snr_db"]) for fr in radar]
+             doppler=fr["doppler"], snr_db=fr["snr_db"]) for fr in radar
+    ] + [dict(kind="odom", ts=m["ts"], q=m["q"], p=m["t"], cov6=m["cov"])
+         for m in odom]
     if bulk:
         s.add_bulk(msgs, chunk=chunk)
         return s
     items = []
     for m in msgs:
-        if m.get("kind", "scan") == "scan":
-            items.append((seq.Sequencer._scan_t_end(m), 0, m))
-        else:
-            items.append((float(m["ts"]), 1, m))
+        kind = m.get("kind", "scan")
+        code = {"scan": 0, "radar": 1, "odom": 2}[kind]
+        ts = seq.Sequencer._scan_t_end(m) if code == 0 else float(m["ts"])
+        items.append((ts, code, m))
     items.sort(key=lambda e: (e[0], e[1]))
-    for _, is_radar, m in items:
-        if is_radar:
+    for _, code, m in items:
+        if code == 1:
             s.add_radar(m["ts"], m["points_r"], m["doppler"],
                         m.get("snr_db"))
+        elif code == 2:
+            s.add_odometry(m["ts"], m["q"], m["p"], m.get("cov6"))
         else:
             s.add_scan(m["ts_header"], m["points"], m["t_rel"],
                        m.get("valid"))
@@ -164,6 +169,29 @@ def test_bulk_multimodal_matches_streaming(data, radar_frames):
         # test_bulk_matches_streaming)
         np.testing.assert_allclose(p0, p1, atol=5e-3)
         assert min(np.linalg.norm(q0 - q1), np.linalg.norm(q0 + q1)) < 5e-3
+
+
+def test_bulk_four_modality_matches_streaming(data, radar_frames):
+    """Full 4-modality bulk (lidar + radar + odometry + IMU, the
+    reference's complete sensor set): mixed chunks incl. the odometry
+    between-factor branches must reproduce the streaming sequence."""
+    tc = syn.TrajectoryConfig(t_total=6.0)
+    traj = syn.make_trajectory(tc)
+    odom = syn.generate_odometry(traj, tc, seed=0)
+    s0 = _replay_mm(data, radar_frames, bulk=False, odom=odom)
+    s1 = _replay_mm(data, radar_frames, bulk=True, odom=odom)
+    assert s1.counters.get("odom_msgs", 0) == len(odom)
+    assert s0.counters.get("odom_msgs", 0) == len(odom)
+    assert s0.counters.get("odom_dropped", 0) == \
+        s1.counters.get("odom_dropped", 0)
+    assert s0.state_ts == pytest.approx(s1.state_ts, abs=0.0)
+    t0 = s0.trajectory
+    t1 = s1.trajectory
+    assert len(t0) == len(t1)
+    assert s0._traj_src == s1._traj_src
+    for (ts0, p0, q0), (ts1, p1, q1) in zip(t0, t1):
+        assert ts0 == ts1
+        np.testing.assert_allclose(p0, p1, atol=5e-3)
 
 
 def test_bulk_multimodal_ate_gate(data, radar_frames):
