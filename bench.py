@@ -69,7 +69,7 @@ def main():
     # config salt, so geo/photo/profile variants coexist)
     step_cache = {}
 
-    def make_sequencer(photo=False, n_gn_iters=3):
+    def make_sequencer(photo=False, n_gn_iters=3, range_transfer=False):
         photo_cfg = None
         if photo:
             # full PG-LIO pipeline: intensity image build + FIR chain +
@@ -91,11 +91,18 @@ def main():
                         point_skip=4))
         return seq.Sequencer(
             photo_cfg=photo_cfg,
+            # sensor-native range-image transfer: (r, t) int16 lanes +
+            # device-side xyz reconstruction from the beam table — halves
+            # H2D bytes vs the xyz int16 pack (the tunnel/PCIe, not
+            # compute, bounds offline bulk replay). Exact for this
+            # generator (radial range noise).
+            ray_dirs=syn.beam_dirs(lm)[0] if range_transfer else None,
             seq_cfg=seq.SequencerConfig(
                 n_geo_points=8192, n_map_points=16384,
                 geo_leaf=0.5, map_insert_leaf=0.2,
                 keyframe_trans_thresh=0.3, keyframe_rot_thresh=0.15,
-                n_gn_iters=n_gn_iters, **skip_kw,
+                n_gn_iters=n_gn_iters, range_transfer=range_transfer,
+                **skip_kw,
             ),
             win_cfg=win.WindowConfig(K=8),
             map_cfg=vh.VoxelMapConfig(leaf_size=0.5, capacity_log2=19,
@@ -108,7 +115,8 @@ def main():
     imu = data["imu"]
     scans = data["scans"]
 
-    def replay_once(photo=False, n_gn_iters=3, time_host=False):
+    def replay_once(photo=False, n_gn_iters=3, time_host=False,
+                    range_transfer=False):
         """One full replay; returns (steady-state scans/s, sequencer,
         median per-scan wall ms). The median is the stall-robust figure
         for stage ATTRIBUTION (one relay hiccup — a late compile-cache
@@ -118,7 +126,8 @@ def main():
         scans/s while every per-scan sample sat at ~1.5 ms).
         ``time_host=True`` additionally medians the per-scan host time
         (pack + IMU feed — non-blocking work on the critical path)."""
-        s = make_sequencer(photo, n_gn_iters=n_gn_iters)
+        s = make_sequencer(photo, n_gn_iters=n_gn_iters,
+                           range_transfer=range_transfer)
         host_ts = []
         scan_ts = []
         imu_i = 0
@@ -161,12 +170,12 @@ def main():
             return rate, s, t_med, 1e3 * float(np.median(host_ts[n_warm:]))
         return rate, s, t_med
 
-    def replay_once_bulk(chunk=32):
+    def replay_once_bulk(chunk=32, range_transfer=False):
         """Offline batch replay: stream the first n_warm scans (init +
         window fill + jit warm), then run the rest through
         add_scans_bulk — chunks of scan steps under one lax.scan dispatch
         (one packed H2D per chunk, zero per-scan host work)."""
-        s = make_sequencer()
+        s = make_sequencer(range_transfer=range_transfer)
         imu = data["imu"]
         s.add_imu_batch(imu["ts"], imu["acc"], imu["gyro"])
         n_warm = min(20, len(scans) // 3)
@@ -206,12 +215,20 @@ def main():
         photo_rates.append(sps_p)
     sps_photo = float(np.median(photo_rates))
 
-    est_ts = np.asarray([t for t, _, _ in s.trajectory])
-    est_p = np.asarray([p for _, p, _ in s.trajectory])
-    ate = syn.ate_rmse(est_ts, est_p, data["gt"]["ts"], data["gt"]["pos"])
-    bt = np.asarray([t for t, _, _ in s_bulk.trajectory])
-    bp = np.asarray([p for _, p, _ in s_bulk.trajectory])
-    ate_bulk = syn.ate_rmse(bt, bp, data["gt"]["ts"], data["gt"]["pos"])
+    # sensor-native range-image codec (half the H2D bytes; same
+    # estimator): streaming + bulk. Runs AFTER the xyz figures so a
+    # relay-session downgrade triggered by the extra program compiles
+    # (first run on a cold disk cache) cannot contaminate the headline.
+    rt_rates, rt_bulk_rates = [], []
+    s_rt = s_rtb = None
+    for _ in range(2):
+        r_i, s_rt, _tm = replay_once(range_transfer=True)
+        rt_rates.append(r_i)
+    for _ in range(2):
+        r_i, s_rtb = replay_once_bulk(range_transfer=True)
+        rt_bulk_rates.append(r_i)
+    sps_rt = float(np.median(rt_rates))
+    sps_rt_bulk = float(np.median(rt_bulk_rates))
 
     # ---- per-stage attribution (ref LidarManagerDebug t_* stage fields):
     # the relay's session-to-session throughput swings ±30%, so the
@@ -231,17 +248,39 @@ def main():
     t_scan_ms = float(np.median(scan_meds))
     t_gn_ms = max(t_scan_ms - t_scan_nogn_ms, 0.0)
 
-    best = max(sps, sps_bulk)
+    # ALL device->host fetches (trajectory reads for ATE) happen strictly
+    # AFTER the last timed replay: the first end-of-replay fetch knocks
+    # the relay session off streamed dispatch and pins every SUBSEQUENT
+    # replay in the process at ~41 scans/s (probe_poison2/3 phase D —
+    # exactly how r2's attribution fields got poisoned)
+    def _ate(sq):
+        ts = np.asarray([t for t, _, _ in sq.trajectory])
+        p = np.asarray([p for _, p, _ in sq.trajectory])
+        return syn.ate_rmse(ts, p, data["gt"]["ts"], data["gt"]["pos"])
+
+    ate = _ate(s)
+    ate_bulk = _ate(s_bulk)
+    ate_rt = _ate(s_rt)
+    ate_rt_bulk = _ate(s_rtb)
+
+    # ATE gate: a codec/schedule variant only competes for the headline
+    # if its trajectory tracked (guards against a fast-but-broken path)
+    cands = [(sps, "streaming", ate), (sps_bulk, "offline-bulk", ate_bulk),
+             (sps_rt, "streaming-range", ate_rt),
+             (sps_rt_bulk, "offline-bulk-range", ate_rt_bulk)]
+    ok = [c for c in cands if c[2] < 0.05] or cands[:2]
+    best, best_mode, _ = max(ok, key=lambda c: c[0])
     print(json.dumps({
         "metric": "lidar_scans_per_s_per_chip",
-        # the better of the two offline replay schedules of the SAME
-        # pipeline: streaming (per-scan dispatch, the online pattern) vs
-        # bulk (lax.scan chunks, the offline batch pattern) — both produce
-        # the gated trajectory (ate_m / bulk_ate_m)
+        # the best replay schedule/codec of the SAME pipeline: streaming
+        # (per-scan dispatch, the online pattern) vs bulk (lax.scan
+        # chunks, the offline batch pattern), each with the xyz-int16 or
+        # the sensor-native range-image transfer codec — all produce the
+        # gated trajectory (ate_m fields)
         "value": round(best, 2),
         "unit": "scans/s (128x1024 pts, K=8 window, 3+1 ICP linearize)",
         "vs_baseline": round(best / 10.0, 2),
-        "mode": "streaming" if sps >= sps_bulk else "offline-bulk",
+        "mode": best_mode,
         "streaming_scans_per_s": round(sps, 2),
         "ate_m": round(ate, 4),
         "photo_scans_per_s": round(sps_photo, 2),
@@ -250,6 +289,11 @@ def main():
         "bulk_scans_per_s": round(sps_bulk, 2),
         "bulk_ate_m": round(ate_bulk, 4),
         "bulk_rates_all_runs": [round(r, 1) for r in bulk_rates],
+        # sensor-native range-image codec (half the H2D bytes)
+        "range_scans_per_s": round(sps_rt, 2),
+        "range_ate_m": round(ate_rt, 4),
+        "range_bulk_scans_per_s": round(sps_rt_bulk, 2),
+        "range_bulk_ate_m": round(ate_rt_bulk, 4),
         "t_scan_ms": round(t_scan_ms, 3),
         "t_scan_nogn_ms": round(t_scan_nogn_ms, 3),
         "t_host_ms": round(t_host_ms, 3),

@@ -139,6 +139,30 @@ def load_ouster_metadata(path) -> dict:
     )
 
 
+def ouster_ray_dirs(meta: dict):
+    """Per-lane unit ray directions for ``SequencerConfig.range_transfer``,
+    in the STAGGERED sensor pixel-id order (row-major, measurement block
+    fastest) that the Ouster data stream and the exact_ouster photometric
+    fill consume (ref photometric.cpp:72-90 PBID addressing): row v of
+    block c samples the destaggered column (c + pixel_shift_by_row[v]) %
+    cols at sensor azimuth pi*(1 - 2*u/cols), elevation
+    beam_altitude_angles[v] — the Ouster driver's own xyz reconstruction
+    model (os_*.json beam_intrinsics). Same formula as
+    io.synthetic.generate_ouster's direction table, so the synthetic
+    Ouster bags validate this path end-to-end."""
+    import numpy as np
+    alt = np.asarray(meta["beam_altitudes"])
+    rows, n_cols = int(meta["rows"]), int(meta["cols"])
+    shifts = np.asarray(meta["pixel_shift_by_row"] or [0] * rows, int)
+    v, c = np.meshgrid(np.arange(rows), np.arange(n_cols), indexing="ij")
+    u_dest = (c + shifts[:, None]) % n_cols
+    az = np.pi * (1.0 - 2.0 * u_dest / n_cols)
+    ca, sa = np.cos(az), np.sin(az)
+    cal = np.cos(alt)[:, None] * np.ones_like(ca)
+    sal = np.sin(alt)[:, None] * np.ones_like(ca)
+    return np.stack([cal * ca, cal * sa, sal], -1).reshape(-1, 3)
+
+
 def photometric_from_reference(raw: dict, ouster_meta=None):
     """Build a PhotometricConfig from the reference's ``lidar/photometric``
     namespace (ref photometric_config.cpp:14-112) + optional Ouster
@@ -368,6 +392,11 @@ def from_reference_dict(raw: dict, declare_rate_hz=10.0,
         quant_pos_res=max(
             SequencerConfig.quant_pos_res,
             float(g("lidar/manager/range_max", 100.0)) * 1.02 / 32767.0),
+        # range_transfer ships uint16 ranges (span 0..65534 LSB): same
+        # widening rule against the platform's range_max
+        quant_range_res=max(
+            SequencerConfig.quant_range_res,
+            float(g("lidar/manager/range_max", 100.0)) * 1.02 / 65534.0),
     )
     seq_kwargs.update(seq_overrides)
     # clamp downsample sizes to the scan size unless explicitly overridden

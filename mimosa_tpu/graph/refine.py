@@ -55,8 +55,12 @@ def smooth(sequencer, imu_ts, imu_acc, imu_gyro, mesh=None, iters=3,
                          f"the cap or smooth in chunks")
     dtype = s.window.p.dtype
     n = K0
-    q_est = np.asarray(s.traj_q).astype(np.float64)[:n]
-    p_est = np.asarray(s.traj_p).astype(np.float64)[:n]
+    # jitted-fetch reads (raw np.asarray on the sequencer's donated
+    # device arrays is eager-copy relay-session poison — sequencer
+    # _host_fetch docstring, scripts/probe_poison2.py)
+    from mimosa_tpu.graph.sequencer import _host_fetch
+    q_est = _host_fetch(s.traj_q).astype(np.float64)[:n]
+    p_est = _host_fetch(s.traj_p).astype(np.float64)[:n]
     H6 = s.pose_info_records().astype(np.float64)          # [K0,6,6]
     # rows without a scan registration (declared by radar/odometry, or a
     # scan whose quadratic never reached them) get a WEAK anchor at their
@@ -92,7 +96,7 @@ def smooth(sequencer, imu_ts, imu_acc, imu_gyro, mesh=None, iters=3,
     v0 = jnp.asarray(padded(v_est), dtype)
     bg0 = jnp.zeros((K, 3), dtype)
     ba0 = jnp.zeros((K, 3), dtype)
-    g_dir = jnp.asarray(np.asarray(s.window.g_dir), dtype)
+    g_dir = jnp.asarray(_host_fetch(s.window.g_dir), dtype)
 
     # re-preintegrate the IMU chain between consecutive rows
     buf = ImuBuffer(max_duration=float(ts[-1] - ts[0]) + 10.0,

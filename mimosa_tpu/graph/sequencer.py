@@ -152,6 +152,20 @@ class SequencerConfig:
     # low-noise scans snapped to the quantization lattice bias voxel plane
     # normals (staircase aliasing) enough to halve ICP inliers
     quant_dither: bool = True
+    # SENSOR-NATIVE range-image transfer: ship each lane as (range, t)
+    # int16 instead of (x, y, z, t) — raw spinning-lidar returns are
+    # exactly range * unit_direction(lane) in the instantaneous sensor
+    # frame (the Ouster driver itself reconstructs xyz this way from the
+    # beam tables, ref os_*.json beam_altitude_angles; decode parity:
+    # src/lidar/manager.cpp:244-335 consumes the already-reconstructed
+    # cloud). Halves H2D bytes again on top of quantization (4 B/pt vs
+    # 8 geo, 6 vs 10 photometric) — the interconnect, not compute, bounds
+    # offline bulk replay. Requires quantize_transfer and a per-lane unit
+    # direction table (``Sequencer(ray_dirs=...)``); range quantization is
+    # RADIAL (along-ray, matching the sensor's own noise axis) with the
+    # same subtractive per-lane dither as the xyz path.
+    range_transfer: bool = False
+    quant_range_res: float = 0.0015   # m (span 0..98 m in uint16)
     point_skip: int = 1               # keep every k-th point AT PACK TIME
                                       # (subsamples the transfer; thins ALL
                                       # consumers incl. photometric)
@@ -198,6 +212,45 @@ class SequencerConfig:
     freeze_map: bool = False
 
 
+_FETCH_JIT = None
+
+
+def _host_fetch(arr):
+    """Relay-safe device->host read: ``device_get`` of a jitted
+    identity's output. A raw ``np.asarray`` (or device-side indexing) on
+    a live array from the donated step chain issues an EAGER copy op,
+    and the first eager op permanently downgrades a tunneled relay
+    session from streamed dispatch (~0.15 ms/program) to per-program
+    round-trips (~25 ms) for the rest of the process — measured in
+    scripts/probe_poison2.py: the end-of-replay trajectory fetch was
+    silently costing every SUBSEQUENT replay in the process 17x
+    (41 scans/s vs 700). The jitted identity emits a fresh non-aliased
+    output whose device_get is a pure transfer (the io/viz.py pattern)."""
+    global _FETCH_JIT
+    if _FETCH_JIT is None:
+        _FETCH_JIT = jax.jit(lambda a: a)
+    return jax.device_get(_FETCH_JIT(arr))
+
+
+def _pack_range_scan(points, t_rel, valid, intensity, skip, n_out, ncol,
+                     range_res, t_res, int_res, dither, out=None):
+    """Sensor-native range-image pack: int16 (range, t[, intensity]) rows.
+    Raw lidar returns satisfy p = r * dir(lane) exactly in the sensor
+    frame (the Ouster reconstruction model, ref os_*.json beam tables +
+    src/lidar/manager.cpp:244-335), so shipping the scalar range halves
+    the transfer again vs the 3x-int16 xyz pack; the device rebuilds xyz
+    from a resident direction table (see ``_decode_scan``). Range
+    quantization is along-ray (the sensor's own noise axis) with the same
+    subtractive per-lane dither as the xyz path. Returns (out, t_end_rel)
+    with t_end over the FULL-density valid lanes (the corrected_ts
+    semantics of native.pack_scan pass A). One fused native pass
+    (skip + |p| + quantize + t_end, OpenMP-chunked) with a bit-identical
+    numpy fallback — the host pack bounds the streaming pipeline."""
+    return native.pack_range(points, t_rel, valid, intensity, skip,
+                             n_out, ncol, range_res, t_res, int_res,
+                             dither=dither, out=out)
+
+
 class Sequencer:
     """Host orchestrator. Deterministic: same inputs in the same order give
     the same trajectory (the mimosa_rosbag property, ref README.md:60)."""
@@ -207,7 +260,7 @@ class Sequencer:
                  map_cfg: vh.VoxelMapConfig = vh.VoxelMapConfig(),
                  geo_cfg: geo.GeometricConfig = geo.GeometricConfig(),
                  photo_cfg=None, dtype=jnp.float32, init_map=None,
-                 mesh=None, step_cache=None):
+                 mesh=None, step_cache=None, ray_dirs=None):
         self.cfg = seq_cfg
         self.win_cfg = win_cfg
         self.map_cfg = map_cfg
@@ -241,6 +294,32 @@ class Sequencer:
         else:
             self.features = None
             self._static_mask = None
+        if seq_cfg.range_transfer:
+            if ray_dirs is None:
+                raise ValueError(
+                    "range_transfer needs ray_dirs — the per-lane unit "
+                    "direction table at FULL sensor density (e.g. "
+                    "io.synthetic.beam_dirs(lm)[0] or the Ouster beam "
+                    "tables); point_skip is applied internally")
+            if not seq_cfg.quantize_transfer:
+                raise ValueError(
+                    "range_transfer requires quantize_transfer=True")
+            rd = np.asarray(ray_dirs, np.float32)[::seq_cfg.point_skip]
+            n = seq_cfg.max_scan_points
+            out = np.zeros((n, 3), np.float32)
+            out[:, 2] = 1.0               # pad lanes: unit z (masked out)
+            k = min(len(rd), n)
+            out[:k] = rd[:k]
+            self._ray_dirs = out
+            # device-RESIDENT table passed as a traced step ARGUMENT, not
+            # a closure constant: a 393 KB literal baked into every HLO
+            # knocked the tunneled relay session off the streamed-dispatch
+            # path (~41 scans/s poisoned signature); an argument costs a
+            # per-dispatch handle only
+            self._ray_dirs_dev = jax.device_put(out)
+        else:
+            self._ray_dirs = None
+            self._ray_dirs_dev = None
 
         self.imu = ImuBuffer(max_duration=seq_cfg.imu_max_buffer_duration,
                              acc_scale=seq_cfg.imu_acc_scale)
@@ -314,7 +393,9 @@ class Sequencer:
         else:
             try:
                 salt = (seq_cfg, win_cfg, map_cfg, geo_cfg, photo_cfg,
-                        str(dtype))
+                        str(dtype),
+                        None if self._ray_dirs is None
+                        else self._ray_dirs.tobytes())
                 hash(salt)
                 self._cfg_salt = salt
             except TypeError:
@@ -360,12 +441,13 @@ class Sequencer:
 
             def bulk(window, vmap, preints, fv, features,
                      kf_q, kf_p, kf_count, traj_q, traj_p, debug_rec,
-                     scans_q, imu_packs, pt_valids):
+                     scans_q, imu_packs, pt_valids, ray_dirs=None):
                 def body(carry, x):
                     w, vm, pi, f, ft, kq, kp, kc, tq, tp, db = carry
                     scan_f, imu_f, ptv = x
                     out = _scan_step(w, vm, pi, f, scan_f, ptv, imu_f,
-                                     kq, kp, kc, tq, tp, db, ft, **step_kw)
+                                     kq, kp, kc, tq, tp, db, ft, ray_dirs,
+                                     **step_kw)
                     return out, None
 
                 carry0 = (window, vmap, preints, fv, features,
@@ -402,37 +484,38 @@ class Sequencer:
         n = len(self._traj_ts)
         if n == 0:
             return []
-        # transfer-then-slice: device-side slicing (traj_q[:n]) is an
-        # EAGER op — the first one permanently downgrades a tunneled
-        # relay session out of streamed dispatch (CLAUDE.md); a full-
-        # array D2H transfer does not
-        q = np.asarray(self.traj_q)[:n]
-        p = np.asarray(self.traj_p)[:n]
+        # jitted-fetch-then-slice: BOTH device-side slicing (traj_q[:n])
+        # AND a raw np.asarray on the donated-chain array are eager-copy
+        # session poison on the tunneled relay (probe_poison2.py phase D:
+        # one end-of-replay fetch pinned every later replay at 41
+        # scans/s); _host_fetch routes the read through a jitted identity
+        q = _host_fetch(self.traj_q)[:n]
+        p = _host_fetch(self.traj_p)[:n]
         return [(self._traj_ts[i], p[i], q[i]) for i in range(n)]
 
     @property
     def num_keyframes(self):
-        return int(self.kf_count)
+        return int(_host_fetch(self.kf_count))
 
     def debug_records(self):
         """Per-scan debug record array [n_scans, 17]: num_inlier, 4 status
         counts, mean_abs_res, 3+3 degeneracy flags, photometric tracked,
         rescue-triggered flag — the equivalent of the reference's
         LidarGeometricDebug / LidarPhotometricDebug messages."""
-        return np.asarray(self.debug_rec)[: self.scan_idx, :17]
+        return _host_fetch(self.debug_rec)[: self.scan_idx, :17]
 
     def imu_localizability_records(self):
         """Per-scan IMU-factor localizability eigenvalues [n_scans, 9]
         (rot[3], pos[3], vel[3], each ascending) — the ImuManagerDebug
         localizability diagnostic (ref imu/manager.cpp:436-482). Zero rows
         for same-key scans (no new IMU factor)."""
-        return np.asarray(self.debug_rec)[: self.scan_idx, 38:47]
+        return _host_fetch(self.debug_rec)[: self.scan_idx, 38:47]
 
     def pose_info_records(self):
         """[n_traj, 6, 6] absorbed pose-information matrix per trajectory
         row (zeros for rows declared by radar/odometry/init, which carry
         no scan registration) — the batch smoother's measurement input."""
-        dbg = np.asarray(self.debug_rec)[: self.scan_idx, 17:38]
+        dbg = _host_fetch(self.debug_rec)[: self.scan_idx, 17:38]
         out = np.zeros((len(self._traj_ts), 6, 6), dbg.dtype)
         iu = _TRIU6
         for row, sc in enumerate(self._traj_src):
@@ -448,7 +531,7 @@ class Sequencer:
         degen_trans[3]) of the newest scan, or None."""
         if self.scan_idx == 0:
             return None
-        r = np.asarray(self.debug_rec[self.scan_idx - 1])
+        r = _host_fetch(self.debug_rec)[self.scan_idx - 1]
         return (int(r[0]), r[1:5].astype(np.int64), float(r[5]),
                 r[6:9] > 0.5, r[9:12] > 0.5)
 
@@ -457,7 +540,7 @@ class Sequencer:
         """(num_tracked, [tracked, oob, masked+occluded, ncc]) or None."""
         if self.photo_cfg is None or self.scan_idx == 0:
             return None
-        r = np.asarray(self.debug_rec[self.scan_idx - 1])
+        r = _host_fetch(self.debug_rec)[self.scan_idx - 1]
         return (int(r[12]), r[12:16].astype(np.int64))
 
     # ----------------------------------------------------------- state query
@@ -529,9 +612,10 @@ class Sequencer:
         if n == 0:
             return None
         ts_arr = np.asarray(self._traj_ts)
-        # full-ring transfers (no eager device slice — CLAUDE.md poison)
-        q = np.asarray(self.traj_q)[:n]
-        p = np.asarray(self.traj_p)[:n]
+        # jitted-fetch full-ring transfers (raw np.asarray on the donated
+        # ring is eager-copy session poison — see _host_fetch)
+        q = _host_fetch(self.traj_q)[:n]
+        p = _host_fetch(self.traj_p)[:n]
         if interpolate and ts_arr[0] <= ts <= ts_arr[-1]:
             j = int(np.searchsorted(ts_arr, ts, side="left"))
             if j == 0 or ts_arr[j] == ts:
@@ -876,6 +960,19 @@ class Sequencer:
         return self._step_cache[key]
 
     # ----------------------------------------------------------------- scan
+    def _scan_ncol(self):
+        """Packed-scan column count: range mode ships (r, t[, i]), the
+        xyz modes (x, y, z, t[, i]); the intensity column only travels
+        for photometric configs."""
+        if self.cfg.range_transfer:
+            return 3 if self.photo_cfg is not None else 2
+        return 5 if self.photo_cfg is not None else 4
+
+    def _t_col(self):
+        """Column index of the packed point time (whose -32768 sentinel
+        marks invalid lanes)."""
+        return 1 if self.cfg.range_transfer else 3
+
     def stage_scan(self, ts_header, points, t_rel, valid=None,
                    intensity=None):
         """Pack/quantize a scan and start its async H2D transfer.
@@ -897,8 +994,22 @@ class Sequencer:
             # bytes (sentinel t = -32768 marks invalid lanes, so the
             # validity mask costs nothing); the intensity column ships
             # only when the photometric module consumes it (-20% bytes)
-            ncol = 5 if self.photo_cfg is not None else 4
+            ncol = self._scan_ncol()
             n = self.cfg.max_scan_points
+            if self.cfg.range_transfer:
+                c = self.cfg
+                scan_q, t_max = _pack_range_scan(
+                    points, t_rel, valid,
+                    intensity if ncol == 3 else None,
+                    c.point_skip, n, ncol, c.quant_range_res,
+                    c.quant_t_res, c.quant_int_res, c.quant_dither)
+                raw = (points, t_rel,
+                       valid if valid is not None
+                       else np.isfinite(points).all(-1))
+                return dict(ts_header=float(ts_header),
+                            t_end=float(ts_header + t_max),
+                            scan_dev=jax.device_put(scan_q),
+                            valid_dev=None, raw=raw)
             if self.cfg.quantize_transfer:
                 # one fused native pass: skip + pad + quantize + t_end
                 # (the dominant host cost per scan — ref prepareInput is
@@ -1043,6 +1154,7 @@ class Sequencer:
             self.traj_q, self.traj_p,
             self.debug_rec,
             self.features,
+            self._ray_dirs_dev,
         )
         self.scan_idx += 1
         if same_key:
@@ -1114,6 +1226,15 @@ class Sequencer:
         cfg = self.cfg
         n = cfg.max_scan_points
         ncol = out_row.shape[-1]
+        if cfg.range_transfer:
+            _pack_range_scan(
+                np.asarray(sc["points"]), np.asarray(sc["t_rel"]),
+                sc.get("valid"),
+                sc.get("intensity") if ncol == 3 else None,
+                cfg.point_skip, n, ncol, cfg.quant_range_res,
+                cfg.quant_t_res, cfg.quant_int_res, cfg.quant_dither,
+                out=out_row)
+            return
         if cfg.quantize_transfer:
             native.pack_scan(
                 np.asarray(sc["points"]), np.asarray(sc["t_rel"]),
@@ -1158,7 +1279,7 @@ class Sequencer:
             self.traj_p = self._jit_double(self.traj_p)
             self.debug_rec = self._jit_double(self.debug_rec)
         n = cfg.max_scan_points
-        ncol = 5 if self.photo_cfg is not None else 4
+        ncol = self._scan_ncol()
         m = cfg.max_imu_per_segment
         imu_packs = np.zeros((C, m + 1, 8), np.dtype(self.dtype))
         scan_idx0 = self.scan_idx
@@ -1189,7 +1310,8 @@ class Sequencer:
             self.kf_q, self.kf_p, self.kf_count, self.traj_q, self.traj_p,
             self.debug_rec, jax.device_put(scans_q),
             jax.device_put(imu_packs),
-            jax.device_put(pt_valids) if pt_valids is not None else None)
+            jax.device_put(pt_valids) if pt_valids is not None else None,
+            self._ray_dirs_dev)
         self.scan_idx += C
         self.state_ts = (self.state_ts + t_ends)[C:]
         self.last_state_ts = t_ends[-1]
@@ -1363,7 +1485,7 @@ class Sequencer:
             self.traj_p = self._jit_double(self.traj_p)
             self.debug_rec = self._jit_double(self.debug_rec)
         n = cfg.max_scan_points
-        ncol = 5 if self.photo_cfg is not None else 4
+        ncol = self._scan_ncol()
         m = cfg.max_imu_per_segment
         R = self.RADAR_BULK_PAD
         d = np.dtype(self.dtype)
@@ -1379,7 +1501,8 @@ class Sequencer:
         scan_slots = np.zeros(C, np.int32)
         if cfg.quantize_transfer:
             scans_q = np.zeros((max(n_scans, 1), n, ncol), np.int16)
-            scans_q[:, :, 3] = -32768       # unused slabs: all lanes invalid
+            # unused slabs: all lanes invalid (t-column sentinel)
+            scans_q[:, :, self._t_col()] = -32768
             pt_valids = None
         else:
             scans_q = np.zeros((max(n_scans, 1), n, ncol), d)
@@ -1460,7 +1583,8 @@ class Sequencer:
              self.debug_rec) = step(
                 self.window, self.vmap, self.preints, self.fv,
                 self.features, self.kf_q, self.kf_p, self.kf_count,
-                self.traj_q, self.traj_p, self.debug_rec, *dev)
+                self.traj_q, self.traj_p, self.debug_rec, *dev,
+                self._ray_dirs_dev)
         self.scan_idx += n_scans
         self.state_ts = (self.state_ts + declared)[len(declared):]
         if declared:
@@ -1547,7 +1671,8 @@ class Sequencer:
                 staged["scan_dev"], staged["valid_dev"],
                 jnp.asarray(imu_pack, d),
                 self.kf_q, self.kf_p, self.kf_count,
-                self.traj_q, self.traj_p, self.debug_rec, self.features)
+                self.traj_q, self.traj_p, self.debug_rec, self.features,
+                self._ray_dirs_dev)
             self.scan_idx += 1
             # point the refreshed row at this scan's absorbed pose
             # quadratic (batch smoothing input)
@@ -1583,7 +1708,7 @@ class Sequencer:
             staged["scan_dev"], staged["valid_dev"],
             jnp.asarray(imu_a, d), jnp.asarray(imu_b, d),
             jnp.asarray(scalars, d), self.debug_rec,
-            self.kf_q, self.kf_p, self.kf_count)
+            self.kf_q, self.kf_p, self.kf_count, self._ray_dirs_dev)
         self.scan_idx += 1
         self.n_active += 1
         self.state_ts.insert(pos, t_end)
@@ -1744,12 +1869,33 @@ def _keyframe_map_update(vmap, q_new, p_new, points_le, pt_valid,
     return vmap, kf_q, kf_p, kf_count
 
 
-def _decode_scan(scan_f, pt_valid, t_offset, seq_cfg, d):
+def _decode_scan(scan_f, pt_valid, t_offset, seq_cfg, d, ray_dirs=None):
     """Unpack a staged scan: int16 dequantization (sentinel t == -32768
     encodes invalid lanes) or plain f32 columns; point times shift from
     scan-header-relative to the IMU-segment base via ``t_offset``. The
     intensity column is shipped only for photometric configs (4-column
-    packs decode to zero intensity)."""
+    packs decode to zero intensity).
+
+    ``range_transfer`` packs decode xyz = range * ray_dirs[lane] from the
+    per-lane beam-direction table — a device-RESIDENT array passed as a
+    step argument (NOT a closure constant: a 393 KB HLO literal pushed
+    the tunneled relay off its streamed-dispatch path) — the sensor-native
+    reconstruction the Ouster driver performs on host (see
+    ``_pack_range_scan``); the subtractive range dither is removed along
+    the ray."""
+    if seq_cfg.range_transfer:
+        has_inten = scan_f.shape[1] >= 3
+        rq = scan_f[:, 0].astype(d) + 32767.0
+        if seq_cfg.quant_dither:
+            rq = rq - _dither_lanes(scan_f.shape[0], d)[:, 0]
+        r = rq * seq_cfg.quant_range_res
+        pts = r[:, None] * jnp.asarray(ray_dirs, d)
+        t_pts = (scan_f[:, 1].astype(d) + 32767.0) * seq_cfg.quant_t_res \
+            + t_offset
+        intensity = scan_f[:, 2].astype(d) * seq_cfg.quant_int_res \
+            if has_inten else jnp.zeros(scan_f.shape[0], d)
+        pt_valid = scan_f[:, 1] != jnp.int16(-32768)
+        return pts, t_pts, intensity, pt_valid
     has_inten = scan_f.shape[1] >= 5
     if seq_cfg.quantize_transfer:
         q = scan_f[:, :3].astype(d)
@@ -1776,7 +1922,7 @@ def _decode_scan(scan_f, pt_valid, t_offset, seq_cfg, d):
 def _scan_step(window, vmap, preints, fv, scan_f, pt_valid,
                imu_f,
                kf_q, kf_p, kf_count, traj_q, traj_p,
-               debug_rec, features=None,
+               debug_rec, features=None, ray_dirs=None,
                *, seq_cfg, win_cfg, map_cfg, geo_cfg, photo_cfg=None,
                static_mask=None, linearize_fn=None, map_update_fn=None,
                marginalize_first=False, append=True):
@@ -1836,7 +1982,8 @@ def _scan_step(window, vmap, preints, fv, scan_f, pt_valid,
         fv = jnp.concatenate([fv[1:], jnp.zeros(1, bool)])
 
     pts, t_pts, intensity, pt_valid = _decode_scan(scan_f, pt_valid,
-                                                   t_offset, seq_cfg, d)
+                                                   t_offset, seq_cfg, d,
+                                                   ray_dirs)
     accs = imu_f[:, 0:3]
     gyros = imu_f[:, 3:6]
     dts = imu_f[:, 6]
@@ -2285,6 +2432,7 @@ def _insert_preint_segments(preints, fv, pos, seg_a, seg_b):
 
 def _scan_ooo_step(window, vmap, preints, fv, scan_f, pt_valid, imu_a,
                    imu_b, scalars, debug_rec, kf_q, kf_p, kf_count,
+                   ray_dirs=None,
                    *, seq_cfg, win_cfg, map_cfg, geo_cfg,
                    linearize_fn=None, map_update_fn=None):
     """Out-of-order scan declare+define: insert a state at ``pos``
@@ -2306,7 +2454,7 @@ def _scan_ooo_step(window, vmap, preints, fv, scan_f, pt_valid, imu_a,
     scan_idx = scalars[3].astype(jnp.int32)
     t_offset = scalars[4]
     pts, t_pts, _, pt_valid = _decode_scan(scan_f, pt_valid, t_offset,
-                                           seq_cfg, d)
+                                           seq_cfg, d, ray_dirs)
     prev = pos - 1
     bg, ba = window.bg[prev], window.ba[prev]
     g_vec = window.g_dir * seq_cfg.g_mag
@@ -2534,7 +2682,8 @@ def make_bulk_mm_fn(*, seq_cfg, win_cfg, map_cfg, geo_cfg, photo_cfg=None,
 
     def bulk_mm(window, vmap, preints, fv, features, kf_q, kf_p,
                 kf_count, traj_q, traj_p, debug_rec, scans_q,
-                imu_packs, pt_valids, rpacks, kinds, scan_slots):
+                imu_packs, pt_valids, rpacks, kinds, scan_slots,
+                ray_dirs=None):
         def body(carry, x):
             kind, slot_i, imu_full, rpack = x
             # imu_full rows: [0:m) segment, [m] scalar block, [m+1]/[m+2]
@@ -2551,7 +2700,8 @@ def make_bulk_mm_fn(*, seq_cfg, win_cfg, map_cfg, geo_cfg, photo_cfg=None,
             def b_scan(c):
                 w, vm, pi, f, ft, kq, kp, kc, tq, tp, db = c
                 return _scan_step(w, vm, pi, f, scan_f, ptv, imu_f,
-                                  kq, kp, kc, tq, tp, db, ft, **step_kw)
+                                  kq, kp, kc, tq, tp, db, ft, ray_dirs,
+                                  **step_kw)
 
             def traj_write(tq, tp, q_new, p_new):
                 ti = scalars[2].astype(jnp.int32)

@@ -16,7 +16,8 @@ def run(platform=None, dtype="float32", t_total=12.0, verbose=True,
         seed=0, imu_noise=0.0, range_noise=0.0, n_gn_iters=3,
         use_photometric=False, world=None, tc=None,
         project_on_degeneracy=False, use_4dof=False,
-        project_degenerate=False, two_pass=False, smooth=False):
+        project_degenerate=False, two_pass=False, smooth=False,
+        range_transfer=False):
     import jax
 
     if platform:
@@ -51,12 +52,17 @@ def run(platform=None, dtype="float32", t_total=12.0, verbose=True,
     def make_sequencer(freeze=False, init_map=None):
         return seq.Sequencer(
             photo_cfg=photo_cfg,
+            # range_transfer: sensor-native (range, t) int16 transfer with
+            # device-side xyz reconstruction from the beam table — exact
+            # for this generator, whose noise is radial (range_noise)
+            ray_dirs=syn.beam_dirs(lm)[0] if range_transfer else None,
             seq_cfg=seq.SequencerConfig(
                 max_scan_points=max(4096, n_scan_pts),
                 n_geo_points=4096, n_map_points=8192,
                 geo_leaf=0.4, map_insert_leaf=0.15,
                 keyframe_trans_thresh=0.3, keyframe_rot_thresh=0.15,
                 n_gn_iters=n_gn_iters, freeze_map=freeze,
+                range_transfer=range_transfer,
             ),
             win_cfg=win.WindowConfig(K=6),
             map_cfg=vh.VoxelMapConfig(leaf_size=0.4, capacity_log2=17,

@@ -56,6 +56,7 @@ def get_lib():
             lib.mimosa_decode_filtered.restype = ctypes.c_int64
             lib.mimosa_ring_sort.restype = ctypes.c_int64
             lib.mimosa_pack_scan.restype = ctypes.c_int64
+            lib.mimosa_pack_range.restype = ctypes.c_int64
             _LIB = lib
         except Exception:
             _LIB_FAILED = True
@@ -250,4 +251,83 @@ def pack_scan(points, t_rel, valid, intensity, skip, n_out, ncol,
             np.nan_to_num(np.asarray(intensity, np.float64))
         iq = np.clip(np.round(iv[::skip][:k] / int_res), 0, 32767)
         out[:k, 4] = np.where(ok_s[:k], iq, 0).astype(np.int16)
+    return out, t_end
+
+
+def pack_range(points, t_rel, valid, intensity, skip, n_out, ncol,
+               r_res, t_res, int_res, dither=True, out=None):
+    """Fused sensor-native range-image pack (the range_transfer codec):
+    point-skip + pad/truncate + int16 quantization of (range, t[,
+    intensity]) rows, range = |p| computed in f64 in the same pass.
+    Sentinel t == -32768 marks invalid lanes; subtractive per-lane range
+    dither uses the x-axis salt. Returns (out int16 [n_out, ncol], t_end)
+    with t_end the max t over valid finite lanes of the FULL-density
+    input. Numpy fallback is bit-identical."""
+    points = np.ascontiguousarray(points)
+    t_rel = np.ascontiguousarray(t_rel)
+    if points.dtype not in (np.float32, np.float64):
+        points = points.astype(np.float64)
+    if t_rel.dtype not in (np.float32, np.float64):
+        t_rel = t_rel.astype(np.float64)
+    n_in = len(points)
+    if out is not None:
+        assert out.dtype == np.int16 and out.shape == (n_out, ncol) \
+            and out.flags.c_contiguous
+    lib = get_lib()
+    if lib is not None:
+        dt = {np.dtype(np.float32): 7, np.dtype(np.float64): 8}
+        if out is None:
+            out = np.empty((n_out, ncol), np.int16)
+        t_end = ctypes.c_double(0.0)
+        vd = None
+        if valid is not None:
+            vd = np.ascontiguousarray(valid, np.uint8)
+        inten = None
+        ic = 0
+        if intensity is not None and ncol > 2:
+            inten = np.ascontiguousarray(intensity)
+            if inten.dtype not in (np.float32, np.float64):
+                inten = inten.astype(np.float64)
+            ic = dt[inten.dtype]
+        lib.mimosa_pack_range(
+            _cptr(points, ctypes.c_float), ctypes.c_int32(dt[points.dtype]),
+            _cptr(t_rel, ctypes.c_float), ctypes.c_int32(dt[t_rel.dtype]),
+            _cptr(vd, ctypes.c_uint8) if vd is not None else None,
+            _cptr(inten, ctypes.c_float) if inten is not None else None,
+            ctypes.c_int32(ic), ctypes.c_int64(n_in), ctypes.c_int64(skip),
+            ctypes.c_int64(n_out), ctypes.c_int32(ncol),
+            ctypes.c_double(r_res), ctypes.c_double(t_res),
+            ctypes.c_double(int_res), ctypes.c_int32(1 if dither else 0),
+            _cptr(out, ctypes.c_int16), ctypes.byref(t_end))
+        return out, float(t_end.value)
+
+    # numpy fallback (same semantics incl. f64 range math)
+    finite = np.isfinite(points).all(-1)
+    ok = (finite if valid is None else (np.asarray(valid, bool) & finite)) \
+        & np.isfinite(t_rel)
+    t_end = float(t_rel[ok].max()) if ok.any() else 0.0
+    pts_s, t_s, ok_s = points[::skip], t_rel[::skip], ok[::skip]
+    k = min(len(pts_s), n_out)
+    if out is None:
+        out = np.zeros((n_out, ncol), np.int16)
+    else:
+        out[:] = 0
+    out[:, 1] = -32768
+    p = np.nan_to_num(pts_s[:k].astype(np.float64), posinf=0.0,
+                      neginf=0.0)
+    r = np.sqrt(np.einsum("ij,ij->i", p, p))
+    qr = r / r_res
+    if dither:
+        qr = qr + _dither01(np.arange(k, dtype=np.uint64),
+                            _DITHER_SALTS[0])
+    qr = np.clip(np.round(qr), 0, 65534) - 32767
+    out[:k, 0] = np.where(ok_s[:k], qr, 0).astype(np.int16)
+    t_fin = np.nan_to_num(t_s[:k], posinf=0.0, neginf=0.0)
+    tq = np.clip(np.round(t_fin / t_res), 0, 65534) - 32767
+    out[:k, 1] = np.where(ok_s[:k], tq, -32768).astype(np.int16)
+    if ncol > 2:
+        iv = np.zeros(n_in) if intensity is None else \
+            np.nan_to_num(np.asarray(intensity, np.float64))
+        iq = np.clip(np.round(iv[::skip][:k] / int_res), 0, 32767)
+        out[:k, 2] = np.where(ok_s[:k], iq, 0).astype(np.int16)
     return out, t_end

@@ -211,3 +211,32 @@ extern "C" int64_t mimosa_pack_scan(const void* pts, int32_t pts_dtype,
   return i64 ? CALL(float, float, double) : CALL(float, float, float);
 #undef CALL
 }
+
+extern "C" int64_t mimosa_pack_range(const void* pts, int32_t pts_dtype,
+                                     const void* t_rel, int32_t t_dtype,
+                                     const uint8_t* valid, const void* inten,
+                                     int32_t inten_dtype, int64_t n_in,
+                                     int64_t skip, int64_t n_out,
+                                     int32_t ncol, double r_res,
+                                     double t_res, double int_res,
+                                     int32_t dither, int16_t* out,
+                                     double* t_end_out) {
+  const bool p64 = pts_dtype == kF64;
+  const bool t64 = t_dtype == kF64;
+  const bool i64 = inten_dtype == kF64;
+#define CALLR(PT, TT, IT)                                                 \
+  pack_range_impl<PT, TT, IT>(static_cast<const PT*>(pts),                \
+                              static_cast<const TT*>(t_rel), valid,       \
+                              static_cast<const IT*>(inten), n_in, skip,  \
+                              n_out, ncol, r_res, t_res, int_res, dither, \
+                              out, t_end_out)
+  if (p64) {
+    if (t64) return i64 ? CALLR(double, double, double)
+                        : CALLR(double, double, float);
+    return i64 ? CALLR(double, float, double) : CALLR(double, float, float);
+  }
+  if (t64) return i64 ? CALLR(float, double, double)
+                      : CALLR(float, double, float);
+  return i64 ? CALLR(float, float, double) : CALLR(float, float, float);
+#undef CALLR
+}

@@ -34,8 +34,13 @@ def save(seq, path):
             continue
         leaves, treedef = jax.tree_util.tree_flatten(tree)
         meta["tree"][name] = len(leaves)
+        # jitted-fetch: raw np.asarray on the sequencer's donated device
+        # arrays is eager-copy relay-session poison (graph/sequencer
+        # _host_fetch docstring) — a mid-run checkpoint must not cost the
+        # rest of the replay 17x
+        from mimosa_tpu.graph.sequencer import _host_fetch
         for i, leaf in enumerate(leaves):
-            arrays[f"{name}__{i}"] = np.asarray(leaf)
+            arrays[f"{name}__{i}"] = np.asarray(_host_fetch(leaf))
     meta["host"] = {k: getattr(seq, k) for k in _HOST_ATTRS}
     arrays["imu_ts"] = seq.imu.ts
     arrays["imu_acc"] = seq.imu.acc

@@ -1,0 +1,160 @@
+"""Sensor-native range-image transfer (SequencerConfig.range_transfer):
+int16 (range, t[, intensity]) lanes + device-side xyz reconstruction from
+the per-lane beam-direction table. Raw spinning-lidar returns are exactly
+range * unit_dir(lane) in the sensor frame (the Ouster driver's own
+reconstruction model), so the mode halves H2D bytes again on top of the
+xyz int16 quantization — the interconnect bounds offline bulk replay.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mimosa_tpu.graph import sequencer as seq
+from mimosa_tpu.graph import window as win
+from mimosa_tpu.io import synthetic as syn
+from mimosa_tpu.lidar import geometric as geo
+from mimosa_tpu.mapping import voxel_hash as vh
+
+
+def _cfg(**kw):
+    base = dict(
+        max_scan_points=4096, n_geo_points=2048, n_map_points=4096,
+        geo_leaf=0.4, map_insert_leaf=0.15,
+        keyframe_trans_thresh=0.3, keyframe_rot_thresh=0.15,
+        n_gn_iters=2)
+    base.update(kw)
+    return seq.SequencerConfig(**base)
+
+
+def test_pack_decode_roundtrip():
+    """Pack -> device decode reconstructs the cloud to quantization
+    accuracy (<= 0.5 range LSB along-ray after subtractive dither), with
+    exact validity and t within one t LSB."""
+    rng = np.random.default_rng(0)
+    n = 1024
+    dirs = rng.normal(size=(n, 3))
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    r = rng.uniform(1.0, 55.0, n)
+    pts = dirs * r[:, None]
+    t_rel = np.sort(rng.uniform(0.0, 0.1, n))
+    valid = rng.uniform(size=n) > 0.1
+    inten = rng.uniform(0, 255, n)
+
+    cfg = _cfg(range_transfer=True, max_scan_points=n)
+    out, t_end = seq._pack_range_scan(
+        pts, t_rel, valid, inten, 1, n, 3, cfg.quant_range_res,
+        cfg.quant_t_res, cfg.quant_int_res, dither=True)
+    assert t_end == pytest.approx(t_rel[valid].max())
+
+    d = np.dtype(np.float32)
+    p2, t2, i2, v2 = jax.jit(
+        lambda s: seq._decode_scan(s, None, 0.0, cfg, d, dirs.astype(
+            np.float32)))(jnp.asarray(out))
+    p2, t2, i2, v2 = map(np.asarray, (p2, t2, i2, v2))
+    np.testing.assert_array_equal(v2, valid)
+    err = np.linalg.norm(p2[valid] - pts[valid], axis=-1)
+    assert err.max() < 0.75 * cfg.quant_range_res
+    assert np.abs(t2[valid] - t_rel[valid]).max() < 1.5 * cfg.quant_t_res
+    assert np.abs(i2[valid] - inten[valid]).max() < 1.0 * cfg.quant_int_res
+
+
+def test_pack_skip_and_pad():
+    """point_skip lane mapping and short-scan padding: packed lane j maps
+    to input lane j*skip; pad lanes carry the t sentinel."""
+    rng = np.random.default_rng(1)
+    n_in, skip, n_out = 512, 4, 256       # kept = 128 < n_out
+    dirs = rng.normal(size=(n_in, 3))
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    r = rng.uniform(2.0, 30.0, n_in)
+    pts = dirs * r[:, None]
+    t_rel = np.linspace(0, 0.1, n_in)
+    cfg = _cfg(range_transfer=True, max_scan_points=n_out, point_skip=skip)
+    out, _ = seq._pack_range_scan(
+        pts, t_rel, None, None, skip, n_out, 2, cfg.quant_range_res,
+        cfg.quant_t_res, cfg.quant_int_res, dither=True)
+    kept = n_in // skip
+    assert (out[kept:, 1] == -32768).all()
+    d = np.dtype(np.float32)
+    dirs_packed = np.zeros((n_out, 3), np.float32)
+    dirs_packed[:kept] = dirs[::skip]
+    dirs_packed[kept:, 2] = 1.0
+    p2, _, _, v2 = jax.jit(
+        lambda s: seq._decode_scan(s, None, 0.0, cfg, d, dirs_packed))(
+            jnp.asarray(out))
+    p2, v2 = np.asarray(p2), np.asarray(v2)
+    assert v2[:kept].all() and not v2[kept:].any()
+    err = np.linalg.norm(p2[:kept] - pts[::skip], axis=-1)
+    assert err.max() < 0.75 * cfg.quant_range_res
+
+
+def _make_sequencer(lm, bulk_cfg=None, **kw):
+    rt = kw.get("range_transfer", False)
+    return seq.Sequencer(
+        seq_cfg=_cfg(**kw),
+        win_cfg=win.WindowConfig(K=4),
+        map_cfg=vh.VoxelMapConfig(leaf_size=0.4, capacity_log2=14,
+                                  plane_min_points=5, lru_horizon=0),
+        geo_cfg=geo.GeometricConfig(),
+        dtype=jnp.float32,
+        ray_dirs=syn.beam_dirs(lm)[0] if rt else None,
+    )
+
+
+@pytest.fixture(scope="module")
+def data():
+    world = syn.room_world()
+    tc = syn.TrajectoryConfig(t_total=6.0)
+    lm = syn.LidarModel(n_rows=16, n_cols=256)
+    return lm, syn.generate(world, tc, lm, seed=0, range_noise=0.01)
+
+
+def _replay(lm, data, bulk, **cfg_kw):
+    s = _make_sequencer(lm, **cfg_kw)
+    imu = data["imu"]
+    s.add_imu_batch(imu["ts"], imu["acc"], imu["gyro"])
+    if bulk:
+        s.add_scans_bulk(data["scans"], chunk=8)
+    else:
+        for sc in data["scans"]:
+            s.add_scan(sc["ts_header"], sc["points"], sc["t_rel"],
+                       sc.get("valid"), intensity=sc.get("intensity"))
+    return s
+
+
+def _ate(s, data):
+    ts = np.asarray([t for t, _, _ in s.trajectory])
+    p = np.asarray([p for _, p, _ in s.trajectory])
+    return syn.ate_rmse(ts, p, data["gt"]["ts"], data["gt"]["pos"])
+
+
+def test_e2e_range_mode_tracks(data):
+    """End-to-end streaming replay in range mode holds the clean ATE gate
+    and matches the xyz-transfer replay's accuracy class."""
+    lm, d = data
+    s_rt = _replay(lm, d, bulk=False, range_transfer=True)
+    s_xy = _replay(lm, d, bulk=False)
+    ate_rt, ate_xy = _ate(s_rt, d), _ate(s_xy, d)
+    assert ate_rt < 0.05
+    assert ate_rt < max(2.5 * ate_xy, 0.03)
+
+
+def test_bulk_matches_streaming_range(data):
+    """Bulk chunks reuse the exact same range decode: trajectories match
+    the streaming range-mode replay to f32-reduction tolerance."""
+    lm, d = data
+    s0 = _replay(lm, d, bulk=False, range_transfer=True,
+                 merge_marginalize=True)
+    s1 = _replay(lm, d, bulk=True, range_transfer=True)
+    t0, t1 = s0.trajectory, s1.trajectory
+    assert len(t0) == len(t1)
+    for (ts0, p0, q0), (ts1, p1, q1) in zip(t0, t1):
+        assert ts0 == ts1
+        np.testing.assert_allclose(p0, p1, atol=2e-3)
+        assert min(np.linalg.norm(q0 - q1), np.linalg.norm(q0 + q1)) < 2e-3
+
+
+def test_range_transfer_requires_ray_dirs():
+    with pytest.raises(ValueError, match="ray_dirs"):
+        seq.Sequencer(seq_cfg=_cfg(range_transfer=True))
