@@ -12,8 +12,9 @@ from mimosa_tpu.lidar import geometric as geo
 from mimosa_tpu.mapping import voxel_hash as vh
 
 
-def _make_sequencer(**kw):
+def _make_sequencer(photo_cfg=None, **kw):
     return seq.Sequencer(
+        photo_cfg=photo_cfg,
         seq_cfg=seq.SequencerConfig(
             max_scan_points=4096, n_geo_points=2048, n_map_points=4096,
             geo_leaf=0.4, map_insert_leaf=0.15,
@@ -27,12 +28,24 @@ def _make_sequencer(**kw):
     )
 
 
+def _photo_cfg(lm):
+    from mimosa_tpu.lidar import photometric as ph
+    return ph.PhotometricConfig(
+        rows=lm.n_rows, cols=lm.n_cols, fov_up=lm.fov_up,
+        fov_down=lm.fov_down, range_min=0.5, range_max=40.0,
+        gradient_threshold=2.0, nma_radius=5, num_features=32,
+        margin=3, intensity_scale=1.0, filter_brightness=False,
+        remove_lines=False)
+
+
+LM = syn.LidarModel(n_rows=16, n_cols=256)
+
+
 @pytest.fixture(scope="module")
 def data():
     world = syn.room_world()
     tc = syn.TrajectoryConfig(t_total=6.0)
-    lm = syn.LidarModel(n_rows=16, n_cols=256)
-    return syn.generate(world, tc, lm, seed=0)
+    return syn.generate(world, tc, LM, seed=0)
 
 
 def _replay(data, bulk, chunk=8, **cfg_kw):
@@ -81,6 +94,65 @@ def test_bulk_matches_streaming_merged_marg(data):
     for (ts0, p0, q0), (ts1, p1, q1) in zip(t0, t1):
         assert ts0 == ts1
         np.testing.assert_allclose(p0, p1, atol=2e-3)
+
+
+def test_bulk_photometric_matches_streaming(data):
+    """The flagship PG-LIO pipeline (geometric + photometric) through the
+    bulk lax.scan scheduler: feature store/track state rides the chunk
+    carry, so trajectories AND tracked-feature debug records must match
+    the streaming path (VERDICT r3 item 2 — the headline mode and the
+    headline pipeline had never met)."""
+    pc = _photo_cfg(LM)
+    s0 = _replay(data, bulk=False, photo_cfg=pc)
+    s1 = _replay(data, bulk=True, photo_cfg=pc)
+    assert any(str(k[1]) == "bulk" for k in s1._step_cache
+               if isinstance(k, tuple) and len(k) > 1)
+    t0 = s0.trajectory
+    t1 = s1.trajectory
+    assert len(t0) == len(t1)
+    assert s0.state_ts == pytest.approx(s1.state_ts, abs=0.0)
+    for (ts0, p0, q0), (ts1, p1, q1) in zip(t0, t1):
+        assert ts0 == ts1
+        np.testing.assert_allclose(p0, p1, atol=2e-3)
+        assert min(np.linalg.norm(q0 - q1), np.linalg.norm(q0 + q1)) < 2e-3
+    d0 = s0.debug_records()
+    d1 = s1.debug_records()
+    # photometric actually ran (tracked features nonzero) and matches
+    assert d0[:, 12].sum() > 0
+    np.testing.assert_allclose(d0[:, 12], d1[:, 12], atol=4)
+
+
+def test_bulk_photometric_exact_ouster_matches_streaming():
+    """Bulk + the exact Ouster sampling model (destagger pixel-id fill,
+    per-row yaw table, projectUndistorted re-skew): the production
+    ENWIDE photometric configuration must survive the lax.scan chunk
+    scheduler unchanged (VERDICT r3 item 2, second case)."""
+    from mimosa_tpu.lidar import photometric as ph
+    rows, cols = 16, 256
+    alts = np.radians(np.linspace(22.0, -22.0, rows))
+    rng = np.random.default_rng(3)
+    shifts = rng.integers(0, cols, rows)
+    world = syn.room_world()
+    tc = syn.TrajectoryConfig(t_total=4.0)
+    d = syn.generate_ouster(world, tc, alts, shifts, n_cols=cols, seed=0)
+    pc = ph.PhotometricConfig(
+        rows=rows, cols=cols, range_min=0.5, range_max=40.0,
+        beam_altitudes=tuple(float(a) for a in alts),
+        gradient_threshold=2.0, nma_radius=5, num_features=32, margin=3,
+        intensity_scale=1.0, filter_brightness=False, remove_lines=False,
+        exact_ouster=True,
+        pixel_shift_by_row=tuple(int(s) for s in shifts))
+    s0 = _replay(d, bulk=False, photo_cfg=pc)
+    s1 = _replay(d, bulk=True, photo_cfg=pc)
+    t0 = s0.trajectory
+    t1 = s1.trajectory
+    assert len(t0) == len(t1)
+    for (ts0, p0, q0), (ts1, p1, q1) in zip(t0, t1):
+        assert ts0 == ts1
+        np.testing.assert_allclose(p0, p1, atol=2e-3)
+    d0, d1 = s0.debug_records(), s1.debug_records()
+    assert d0[:, 12].sum() > 0          # exact-model tracking active
+    np.testing.assert_allclose(d0[:, 12], d1[:, 12], atol=4)
 
 
 def test_bulk_ate_gate(data):
