@@ -123,6 +123,7 @@ def load_ouster_metadata(path) -> dict:
         meta = json.load(f)
     bi = meta.get("beam_intrinsics", meta)
     alt_deg = bi.get("beam_altitude_angles")
+    az_deg = bi.get("beam_azimuth_angles")
     li = meta.get("lidar_data_format", meta.get("data_format", {}))
     shifts = li.get("pixel_shift_by_row")
     cols = li.get("columns_per_frame")
@@ -132,6 +133,14 @@ def load_ouster_metadata(path) -> dict:
         cols = int(str(mode).split("x")[0])
     return dict(
         beam_altitudes=tuple(math.radians(a) for a in alt_deg),
+        # per-beam azimuth offsets (degrees -> radians): the exact values
+        # the integer pixel_shift_by_row rounds to columns
+        # (shift[v] = round(az_deg[v] * cols / 360) in every shipped
+        # os_*.json) — required for the range_transfer beam table; a
+        # rounded shift alone is off by up to half a column (~0.2 deg =
+        # decimeters at range)
+        beam_azimuths=tuple(math.radians(a) for a in az_deg)
+        if az_deg else None,
         pixel_shift_by_row=tuple(shifts) if shifts else None,
         rows=int(rows), cols=int(cols),
         beam_offset_m=float(
@@ -140,27 +149,56 @@ def load_ouster_metadata(path) -> dict:
 
 
 def ouster_ray_dirs(meta: dict):
-    """Per-lane unit ray directions for ``SequencerConfig.range_transfer``,
-    in the STAGGERED sensor pixel-id order (row-major, measurement block
+    """Per-lane beam table for ``SequencerConfig.range_transfer``, in the
+    STAGGERED sensor pixel-id order (row-major, measurement block
     fastest) that the Ouster data stream and the exact_ouster photometric
-    fill consume (ref photometric.cpp:72-90 PBID addressing): row v of
-    block c samples the destaggered column (c + pixel_shift_by_row[v]) %
-    cols at sensor azimuth pi*(1 - 2*u/cols), elevation
-    beam_altitude_angles[v] — the Ouster driver's own xyz reconstruction
-    model (os_*.json beam_intrinsics). Same formula as
-    io.synthetic.generate_ouster's direction table, so the synthetic
-    Ouster bags validate this path end-to-end."""
+    fill consume (ref photometric.cpp:72-90 PBID addressing).
+
+    Azimuth of row v, block c: the encoder angle pi*(1 - 2*c/cols) plus
+    the per-beam azimuth offset — the EXACT ``beam_azimuth_angles`` when
+    the metadata carries them (shift[v] = round(az[v]*cols/360) in every
+    shipped os_*.json, so the integer destagger shift is their
+    column-rounded form — rounding alone is off by up to half a column,
+    decimeters at range), else the shift-derived approximation (the
+    synthetic generate_ouster model). Elevation: beam_altitude_angles[v].
+
+    With a nonzero ``lidar_origin_to_beam_origin`` the Ouster model is
+    AFFINE: p = s*dir + n*enc with enc the horizontal encoder direction
+    (Ouster Sensor Docs, lidar_origin_to_beam_origin_mm; ref
+    config/enwide/os_enwide.json) — then returns [N,6] (dir, offset) and
+    the codec packs s = dot(p - offset, dir) (see native.pack_range);
+    with n == 0 returns plain [N,3] unit dirs (p = r*dir).
+
+    NOTE on conventions: the encoder-angle origin here matches
+    io.synthetic.generate_ouster (pi*(1-2c/N)), which is a fixed z-axis
+    rotation of the Ouster docs' 2*pi*(1-c/N); a fixed sensor-frame yaw
+    cancels in the estimator. If a real driver's cloud disagrees, the
+    codec fidelity check in io/replay.py (--range-transfer) measures the
+    reconstruction residual on the first scan and refuses rather than
+    silently corrupting points."""
     import numpy as np
     alt = np.asarray(meta["beam_altitudes"])
     rows, n_cols = int(meta["rows"]), int(meta["cols"])
-    shifts = np.asarray(meta["pixel_shift_by_row"] or [0] * rows, int)
     v, c = np.meshgrid(np.arange(rows), np.arange(n_cols), indexing="ij")
-    u_dest = (c + shifts[:, None]) % n_cols
-    az = np.pi * (1.0 - 2.0 * u_dest / n_cols)
+    az_enc = np.pi * (1.0 - 2.0 * c / n_cols)
+    if meta.get("beam_azimuths"):
+        az = az_enc - np.asarray(meta["beam_azimuths"])[:, None] \
+            * np.ones_like(az_enc)
+    else:
+        shifts = np.asarray(meta["pixel_shift_by_row"] or [0] * rows, int)
+        u_dest = (c + shifts[:, None]) % n_cols
+        az = np.pi * (1.0 - 2.0 * u_dest / n_cols)
     ca, sa = np.cos(az), np.sin(az)
     cal = np.cos(alt)[:, None] * np.ones_like(ca)
     sal = np.sin(alt)[:, None] * np.ones_like(ca)
-    return np.stack([cal * ca, cal * sa, sal], -1).reshape(-1, 3)
+    dirs = np.stack([cal * ca, cal * sa, sal], -1).reshape(-1, 3)
+    n_off = float(meta.get("beam_offset_m", 0.0) or 0.0)
+    if n_off == 0.0:
+        return dirs
+    enc = np.stack([np.cos(az_enc), np.sin(az_enc),
+                    np.zeros_like(az_enc)], -1)
+    enc = (enc * np.ones_like(az)[..., None]).reshape(-1, 3)
+    return np.concatenate([dirs, n_off * enc], axis=-1)
 
 
 def photometric_from_reference(raw: dict, ouster_meta=None):

@@ -216,16 +216,21 @@ _FETCH_JIT = None
 
 
 def _host_fetch(arr):
-    """Relay-safe device->host read: ``device_get`` of a jitted
-    identity's output. A raw ``np.asarray`` (or device-side indexing) on
-    a live array from the donated step chain issues an EAGER copy op,
-    and the first eager op permanently downgrades a tunneled relay
-    session from streamed dispatch (~0.15 ms/program) to per-program
-    round-trips (~25 ms) for the rest of the process — measured in
-    scripts/probe_poison2.py: the end-of-replay trajectory fetch was
-    silently costing every SUBSEQUENT replay in the process 17x
-    (41 scans/s vs 700). The jitted identity emits a fresh non-aliased
-    output whose device_get is a pure transfer (the io/viz.py pattern)."""
+    """Device->host read via ``device_get`` of a jitted identity's
+    output. WARNING — this is NOT relay-safe: on the tunneled relay ANY
+    device->host readback, including this jitted-identity form and even
+    a scalar fetch, permanently downgrades the session from streamed
+    dispatch (~0.15 ms/program) to per-program round-trips (~25 ms),
+    pinning every SUBSEQUENT replay in the process at ~41 scans/s
+    (measured: scripts/probe_poison3.py phases C/D — the earlier "jitted
+    identity is safe" claim tested only H2D). Defer every call —
+    trajectory/debug_records/checkpoint/smooth — until AFTER the last
+    timed replay of the process (bench.py's ordering); one end-of-process
+    readback is free. The jitted identity is still kept because a raw
+    ``np.asarray`` on a live DONATED-chain array additionally risks
+    reading a buffer the next step has invalidated; the identity's fresh
+    output makes the copy well-defined — it does not avoid the session
+    downgrade."""
     global _FETCH_JIT
     if _FETCH_JIT is None:
         _FETCH_JIT = jax.jit(lambda a: a)
@@ -233,22 +238,27 @@ def _host_fetch(arr):
 
 
 def _pack_range_scan(points, t_rel, valid, intensity, skip, n_out, ncol,
-                     range_res, t_res, int_res, dither, out=None):
+                     range_res, t_res, int_res, dither, out=None,
+                     beam=None):
     """Sensor-native range-image pack: int16 (range, t[, intensity]) rows.
-    Raw lidar returns satisfy p = r * dir(lane) exactly in the sensor
-    frame (the Ouster reconstruction model, ref os_*.json beam tables +
-    src/lidar/manager.cpp:244-335), so shipping the scalar range halves
-    the transfer again vs the 3x-int16 xyz pack; the device rebuilds xyz
-    from a resident direction table (see ``_decode_scan``). Range
-    quantization is along-ray (the sensor's own noise axis) with the same
-    subtractive per-lane dither as the xyz path. Returns (out, t_end_rel)
-    with t_end over the FULL-density valid lanes (the corrected_ts
-    semantics of native.pack_scan pass A). One fused native pass
-    (skip + |p| + quantize + t_end, OpenMP-chunked) with a bit-identical
-    numpy fallback — the host pack bounds the streaming pipeline."""
+    Raw lidar returns satisfy p = s * dir(lane) + offset(lane) exactly in
+    the sensor frame (the Ouster reconstruction model, ref os_*.json beam
+    tables + src/lidar/manager.cpp:244-335; offset = the
+    lidar_origin_to_beam_origin term, zero for the ideal radial model),
+    so shipping the scalar range halves the transfer again vs the
+    3x-int16 xyz pack; the device rebuilds xyz from a resident
+    direction(+offset) table (see ``_decode_scan``). With ``beam`` (f32
+    [n_out, 6]) the scalar is s = dot(p - offset, dir) — the exact
+    inversion of the affine model; without it, |p|. Range quantization is
+    along-ray (the sensor's own noise axis) with the same subtractive
+    per-lane dither as the xyz path. Returns (out, t_end_rel) with t_end
+    over the FULL-density valid lanes (the corrected_ts semantics of
+    native.pack_scan pass A). One fused native pass (skip + range +
+    quantize + t_end, OpenMP-chunked) with a bit-identical numpy
+    fallback — the host pack bounds the streaming pipeline."""
     return native.pack_range(points, t_rel, valid, intensity, skip,
                              n_out, ncol, range_res, t_res, int_res,
-                             dither=dither, out=out)
+                             dither=dither, out=out, beam=beam)
 
 
 class Sequencer:
@@ -297,20 +307,36 @@ class Sequencer:
         if seq_cfg.range_transfer:
             if ray_dirs is None:
                 raise ValueError(
-                    "range_transfer needs ray_dirs — the per-lane unit "
-                    "direction table at FULL sensor density (e.g. "
-                    "io.synthetic.beam_dirs(lm)[0] or the Ouster beam "
-                    "tables); point_skip is applied internally")
+                    "range_transfer needs ray_dirs — the per-lane beam "
+                    "table at FULL sensor density: [N,3] unit directions "
+                    "(p = r*dir), or [N,6] dir+offset for the affine "
+                    "Ouster model p = s*dir + offset (e.g. "
+                    "io.synthetic.beam_dirs(lm)[0] or "
+                    "config.loader.ouster_ray_dirs); point_skip is "
+                    "applied internally")
             if not seq_cfg.quantize_transfer:
                 raise ValueError(
                     "range_transfer requires quantize_transfer=True")
             rd = np.asarray(ray_dirs, np.float32)[::seq_cfg.point_skip]
+            if rd.ndim != 2 or rd.shape[1] not in (3, 6):
+                raise ValueError("ray_dirs must be [N,3] or [N,6]")
             n = seq_cfg.max_scan_points
-            out = np.zeros((n, 3), np.float32)
+            w = rd.shape[1]
+            out = np.zeros((n, w), np.float32)
             out[:, 2] = 1.0               # pad lanes: unit z (masked out)
             k = min(len(rd), n)
             out[:k] = rd[:k]
             self._ray_dirs = out
+            # beam table passed to the pack only for the affine model
+            # ([N,6]); the radial pack path keeps its fused |p| kernel
+            self._beam_table = out if w == 6 else None
+            # a staged cloud with more post-skip lanes than the table
+            # would decode pad lanes as real ranges along the unit-z pad
+            # direction — silent corruption, so refuse up front
+            if len(rd) < n:
+                self._ray_dirs_lanes = len(rd)
+            else:
+                self._ray_dirs_lanes = n
             # device-RESIDENT table passed as a traced step ARGUMENT, not
             # a closure constant: a 393 KB literal baked into every HLO
             # knocked the tunneled relay session off the streamed-dispatch
@@ -320,6 +346,8 @@ class Sequencer:
         else:
             self._ray_dirs = None
             self._ray_dirs_dev = None
+            self._beam_table = None
+            self._ray_dirs_lanes = 0
 
         self.imu = ImuBuffer(max_duration=seq_cfg.imu_max_buffer_duration,
                              acc_scale=seq_cfg.imu_acc_scale)
@@ -853,7 +881,11 @@ class Sequencer:
             return
         prev = getattr(self, "_odom_prev", None)
         if prev is None or prev["slot"] < 0:
-            # anchor only — no factor yet
+            # anchor only — no factor yet (first message, or the previous
+            # anchor state was marginalized out of the window). Counted so
+            # equivalence tests can assert this fallback branch ran.
+            self.counters["odom_anchor"] = \
+                self.counters.get("odom_anchor", 0) + 1
             declare = self.imu.count_between(self.last_state_ts, ts) >= \
                 self.cfg.min_imu_between_states
             if declare:
@@ -873,6 +905,8 @@ class Sequencer:
             self._marginalize_host()
         prev = self._odom_prev  # slots may have shifted in marginalize
         if prev["slot"] < 0:
+            self.counters["odom_anchor"] = \
+                self.counters.get("odom_anchor", 0) + 1
             self._odom_prev = dict(slot=self.n_active - 1,
                                    q=np.asarray(q_s), t=np.asarray(t_s))
             return
@@ -998,11 +1032,22 @@ class Sequencer:
             n = self.cfg.max_scan_points
             if self.cfg.range_transfer:
                 c = self.cfg
+                # lanes beyond the beam table would decode as real ranges
+                # along the unit-z PAD direction — silent corruption, not
+                # an error, so refuse here (advisor r3). Lanes beyond
+                # max_scan_points truncate as in every codec.
+                n_lanes = min(-(-len(points) // c.point_skip), n)
+                if n_lanes > self._ray_dirs_lanes:
+                    raise ValueError(
+                        f"range_transfer: scan has {n_lanes} post-skip "
+                        f"lanes but the ray_dirs table covers only "
+                        f"{self._ray_dirs_lanes}")
                 scan_q, t_max = _pack_range_scan(
                     points, t_rel, valid,
                     intensity if ncol == 3 else None,
                     c.point_skip, n, ncol, c.quant_range_res,
-                    c.quant_t_res, c.quant_int_res, c.quant_dither)
+                    c.quant_t_res, c.quant_int_res, c.quant_dither,
+                    beam=self._beam_table)
                 raw = (points, t_rel,
                        valid if valid is not None
                        else np.isfinite(points).all(-1))
@@ -1227,13 +1272,20 @@ class Sequencer:
         n = cfg.max_scan_points
         ncol = out_row.shape[-1]
         if cfg.range_transfer:
+            pts_b = np.asarray(sc["points"])
+            n_lanes = min(-(-len(pts_b) // cfg.point_skip), n)
+            if n_lanes > self._ray_dirs_lanes:
+                raise ValueError(
+                    f"range_transfer: scan has {n_lanes} post-skip lanes "
+                    f"but the ray_dirs table covers only "
+                    f"{self._ray_dirs_lanes}")
             _pack_range_scan(
-                np.asarray(sc["points"]), np.asarray(sc["t_rel"]),
+                pts_b, np.asarray(sc["t_rel"]),
                 sc.get("valid"),
                 sc.get("intensity") if ncol == 3 else None,
                 cfg.point_skip, n, ncol, cfg.quant_range_res,
                 cfg.quant_t_res, cfg.quant_int_res, cfg.quant_dither,
-                out=out_row)
+                out=out_row, beam=self._beam_table)
             return
         if cfg.quantize_transfer:
             native.pack_scan(
@@ -1876,20 +1928,24 @@ def _decode_scan(scan_f, pt_valid, t_offset, seq_cfg, d, ray_dirs=None):
     intensity column is shipped only for photometric configs (4-column
     packs decode to zero intensity).
 
-    ``range_transfer`` packs decode xyz = range * ray_dirs[lane] from the
-    per-lane beam-direction table — a device-RESIDENT array passed as a
-    step argument (NOT a closure constant: a 393 KB HLO literal pushed
-    the tunneled relay off its streamed-dispatch path) — the sensor-native
-    reconstruction the Ouster driver performs on host (see
-    ``_pack_range_scan``); the subtractive range dither is removed along
-    the ray."""
+    ``range_transfer`` packs decode xyz = range * ray_dirs[lane] (plus a
+    per-lane offset for the affine [N,6] Ouster beam table — the
+    lidar_origin_to_beam_origin term) from the device-RESIDENT table
+    passed as a step argument (NOT a closure constant: a 393 KB HLO
+    literal pushed the tunneled relay off its streamed-dispatch path) —
+    the sensor-native reconstruction the Ouster driver performs on host
+    (see ``_pack_range_scan``); the subtractive range dither is removed
+    along the ray."""
     if seq_cfg.range_transfer:
         has_inten = scan_f.shape[1] >= 3
         rq = scan_f[:, 0].astype(d) + 32767.0
         if seq_cfg.quant_dither:
             rq = rq - _dither_lanes(scan_f.shape[0], d)[:, 0]
         r = rq * seq_cfg.quant_range_res
-        pts = r[:, None] * jnp.asarray(ray_dirs, d)
+        rd = jnp.asarray(ray_dirs, d)
+        pts = r[:, None] * rd[:, :3]
+        if rd.shape[1] == 6:
+            pts = pts + rd[:, 3:6]
         t_pts = (scan_f[:, 1].astype(d) + 32767.0) * seq_cfg.quant_t_res \
             + t_offset
         intensity = scan_f[:, 2].astype(d) * seq_cfg.quant_int_res \
@@ -2151,7 +2207,7 @@ def _scan_step(window, vmap, preints, fv, scan_f, pt_valid,
     # the inlier count collapses (the reference has no recovery — it
     # diverges; config docstring at SequencerConfig.rescue_enabled).
     rescued = jnp.zeros((), d)
-    if seq_cfg.rescue_enabled and default_path:
+    if seq_cfg.rescue_enabled:
         rr = seq_cfg.rescue_radius or map_cfg.leaf_size
         ry = seq_cfg.rescue_yaw
         dg = 0.7071 * rr
@@ -2172,13 +2228,25 @@ def _scan_step(window, vmap, preints, fv, scan_f, pt_valid,
         def _refine_and_score(q_c, t_c):
             """2 damped pose-only GN steps against the candidate's own
             correspondences; score = robust inlier count with a residual
-            tie-break."""
-            m = geo.match(vmap, pts_geo, q_c, t_c, map_cfg)
+            tie-break. Single-chip: matches frozen at the candidate pose
+            (the correspondence-cache pattern). Mesh-sharded: the
+            injected linearize_fn re-matches per call — the sharded
+            path's documented per-iteration re-association semantics."""
+            if default_path:
+                m = geo.match(vmap, pts_geo, q_c, t_c, map_cfg)
+
+                def lin(q_, t_):
+                    return geo.linearize_with(m, pts_geo, geo_valid, q_,
+                                              t_, geo_cfg,
+                                              g_dir=window.g_dir)
+            else:
+                def lin(q_, t_):
+                    return linearize_fn(vmap, pts_geo, geo_valid, q_, t_,
+                                        window.g_dir)
 
             def body(_, qt):
                 q_, t_ = qt
-                res = geo.linearize_with(m, pts_geo, geo_valid, q_, t_,
-                                         geo_cfg, g_dir=window.g_dir)
+                res = lin(q_, t_)
                 lam = 1e-3 * jnp.trace(res.H) / 6.0 + 1e-6
                 dx = jnp.linalg.solve(
                     res.H + lam * jnp.eye(6, dtype=d), -res.b)
@@ -2187,9 +2255,12 @@ def _scan_step(window, vmap, preints, fv, scan_f, pt_valid,
                 return q2, t2
 
             q_f, t_f = jax.lax.fori_loop(0, 2, body, (q_c, t_c))
-            res = geo.linearize_with(
-                geo.match(vmap, pts_geo, q_f, t_f, map_cfg), pts_geo,
-                geo_valid, q_f, t_f, geo_cfg, g_dir=window.g_dir)
+            if default_path:
+                res = geo.linearize_with(
+                    geo.match(vmap, pts_geo, q_f, t_f, map_cfg), pts_geo,
+                    geo_valid, q_f, t_f, geo_cfg, g_dir=window.g_dir)
+            else:
+                res = lin(q_f, t_f)
             score = res.num_inlier.astype(d) - res.mean_abs_res / geo_cfg.sigma
             return score, q_f, t_f
 
@@ -2201,7 +2272,12 @@ def _scan_step(window, vmap, preints, fv, scan_f, pt_valid,
                     lie.quat_mul(lie.exp_so3(up * c[3]), q_pre))
                 return _refine_and_score(q_c, p_pre + c[:3])
 
-            scores, q_cs, t_cs = jax.vmap(one)(cands)
+            if default_path:
+                scores, q_cs, t_cs = jax.vmap(one)(cands)
+            else:
+                # shard_map-based linearize inside vmap is not supported;
+                # rescue is a rare event — sequential candidates are fine
+                scores, q_cs, t_cs = jax.lax.map(one, cands)
             # the already-converged pose competes under the same scoring —
             # "stay put" wins unless a basin is genuinely better
             s0, q0_, t0_ = _refine_and_score(q_conv, p_conv)
@@ -2227,12 +2303,17 @@ def _scan_step(window, vmap, preints, fv, scan_f, pt_valid,
                 q=w2.q.at[slot].set(q_b), p=w2.p.at[slot].set(t_b),
                 lin_q=w2.lin_q.at[slot].set(q_b),
                 lin_p=w2.lin_p.at[slot].set(t_b))
-            m2 = geo.match(vmap, pts_geo, q_b, t_b, map_cfg)
+            m2 = geo.match(vmap, pts_geo, q_b, t_b, map_cfg) \
+                if default_path else None
 
             def gn_body(_, wi):
-                icp2 = geo.linearize_with(m2, pts_geo, geo_valid,
-                                          wi.q[slot], wi.p[slot], geo_cfg,
-                                          g_dir=wi.g_dir)
+                if default_path:
+                    icp2 = geo.linearize_with(m2, pts_geo, geo_valid,
+                                              wi.q[slot], wi.p[slot],
+                                              geo_cfg, g_dir=wi.g_dir)
+                else:
+                    icp2 = linearize_fn(vmap, pts_geo, geo_valid,
+                                        wi.q[slot], wi.p[slot], wi.g_dir)
                 H2, rhs2 = win.build_system(
                     wi, preints, fv, win_cfg,
                     meas=[(win.pose_idx(slot), *geo_meas(icp2))],
@@ -2240,13 +2321,18 @@ def _scan_step(window, vmap, preints, fv, scan_f, pt_valid,
                 return win.apply_update(wi, win.solve(H2, rhs2), win_cfg)
 
             w2 = jax.lax.fori_loop(0, seq_cfg.n_gn_iters, gn_body, w2)
-            return w2, m2, jnp.ones((), d)
+            if default_path:
+                return w2, m2, jnp.ones((), d)
+            return w2, jnp.ones((), d)
 
-        def _no_rescue(window):
-            return window, matches, jnp.zeros((), d)
-
-        window, matches, rescued = jax.lax.cond(lost, _rescue, _no_rescue,
-                                                window)
+        if default_path:
+            def _no_rescue(window):
+                return window, matches, jnp.zeros((), d)
+            window, matches, rescued = jax.lax.cond(lost, _rescue,
+                                                    _no_rescue, window)
+        else:
+            window, rescued = jax.lax.cond(
+                lost, _rescue, lambda w: (w, jnp.zeros((), d)), window)
 
     # 6) absorb the final scan factors into the prior at converged values
     if seq_cfg.refresh_match_on_absorb or not (

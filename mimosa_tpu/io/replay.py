@@ -80,6 +80,7 @@ def replay_bag(bag_path, config_path, imu_topic, lidar_topic,
                verbose=True, platform=None, step_control=None,
                ouster_metadata=None, two_pass=False, smooth=False,
                debug_stream=None, bulk=False, bulk_chunk=32,
+               range_transfer=False,
                **seq_overrides):
     """``two_pass=True`` = mapping->localization refinement (beyond the
     reference): pass 1 runs the normal SLAM replay building the map; pass 2
@@ -99,7 +100,19 @@ def replay_bag(bag_path, config_path, imu_topic, lidar_topic,
     frames and external-odometry poses are collected and executed in
     ``bulk_chunk``-sized ``lax.scan`` chunks (``Sequencer.add_bulk``),
     one device dispatch + one packed transfer per chunk instead of per
-    message. Same math, same trajectory; scheduling only."""
+    message. Same math, same trajectory; scheduling only.
+
+    ``range_transfer=True``: the sensor-native range-image transfer codec
+    (int16 (range, t[, intensity]) lanes + device-side xyz reconstruction
+    from the Ouster beam table — half the H2D bytes of the xyz int16
+    pack). Requires Ouster metadata (``ouster_metadata`` or the config's
+    sensor_metadata_path) for the beam table
+    (config.loader.ouster_ray_dirs, incl. beam_azimuth_angles and the
+    lidar_origin_to_beam_origin affine term). The first decoded scan is
+    checked against the table (pack->decode reconstruction residual) and
+    the replay REFUSES if the bag's cloud does not follow the
+    reconstruction model — a driver with a different frame convention
+    would otherwise silently corrupt every point."""
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
@@ -117,16 +130,27 @@ def replay_bag(bag_path, config_path, imu_topic, lidar_topic,
         seq_overrides["max_scan_points"] = max_scan_points
     cs = loader.load_reference_yaml(config_path, override_path,
                                     **seq_overrides)
+    meta_path = ouster_metadata or cs.raw.get("lidar", {}).get(
+        "sensor_metadata_path")
+    meta = loader.load_ouster_metadata(meta_path) if meta_path else None
     # the full PG-LIO pipeline when the config enables photometric (the
     # reference's ENWIDE/Newer College default); the Ouster metadata JSON
     # supplies the beam table (reference loads it into lidar/sensor)
     photo_cfg = None
     if bool(cs.raw.get("lidar", {}).get("photometric", {})
             .get("enabled", False)):
-        meta_path = ouster_metadata or cs.raw.get("lidar", {}).get(
-            "sensor_metadata_path")
-        meta = loader.load_ouster_metadata(meta_path) if meta_path else None
         photo_cfg = loader.photometric_from_reference(cs.raw, meta)
+    ray_dirs = None
+    if range_transfer:
+        if meta is None:
+            raise ValueError("range_transfer needs Ouster metadata "
+                             "(--ouster-metadata or the config's "
+                             "sensor_metadata_path) for the beam table")
+        import dataclasses as _dc
+        ray_dirs = loader.ouster_ray_dirs(meta)
+        cs = _dc.replace(cs, sequencer=_dc.replace(
+            cs.sequencer, range_transfer=True))
+
     def make_sequencer(freeze=False, init_map=None):
         import dataclasses as _dc
         cfg_i = _dc.replace(cs.sequencer, freeze_map=True) if freeze \
@@ -134,7 +158,7 @@ def replay_bag(bag_path, config_path, imu_topic, lidar_topic,
         s_ = seq.Sequencer(seq_cfg=cfg_i, win_cfg=cs.window,
                            map_cfg=cs.voxel_map, geo_cfg=cs.geometric,
                            photo_cfg=photo_cfg, dtype=jnp.float32,
-                           init_map=init_map)
+                           init_map=init_map, ray_dirs=ray_dirs)
         s_.radar_cfg = cs.radar
         s_.odom_cfg = cs.odometry
         return s_
@@ -204,6 +228,44 @@ def replay_bag(bag_path, config_path, imu_topic, lidar_topic,
 
     if bulk and step_control is not None:
         raise ValueError("bulk replay is non-interactive")
+
+    if range_transfer:
+        # codec fidelity gate on the first in-range scan: the bag's cloud
+        # must follow the beam-table reconstruction model p = s*dir + off
+        # (pixel-id point order included) — a driver with a different
+        # frame/order convention would otherwise silently corrupt every
+        # point at decode. Threshold: 5 mm median residual (the driver's
+        # own f32 reconstruction sits ~1e-4; a convention mismatch is
+        # meters).
+        first = next((m for m in msgs
+                      if m[0] == lidar_topic and m[2] >= t0), None)
+        if first is None:
+            raise ValueError(f"no scans on {lidar_topic} in range")
+        _, _, _, m0 = first
+        d0 = pc2.decode(m0["data"], m0["fields"], m0["point_step"],
+                        header_stamp=m0["stamp"])
+        p0 = d0["points"]
+        if len(p0) != len(ray_dirs):
+            raise ValueError(
+                f"range_transfer: scan has {len(p0)} points but the "
+                f"beam table covers {len(ray_dirs)} lanes — cloud is "
+                f"not full-frame pixel-id ordered")
+        dirs0 = ray_dirs[:, :3]
+        off0 = ray_dirs[:, 3:6] if ray_dirs.shape[1] == 6 else 0.0
+        okp = np.isfinite(p0).all(-1) & \
+            (np.einsum("ij,ij->i", p0, p0) > 0.25)
+        sc0 = np.einsum("ij,ij->i", p0 - off0, dirs0)
+        resid = np.linalg.norm(sc0[:, None] * dirs0 + off0 - p0, axis=-1)
+        med = float(np.median(resid[okp])) if okp.any() else np.inf
+        if med > 5e-3:
+            raise ValueError(
+                f"range_transfer: beam-table reconstruction residual "
+                f"{med * 1e3:.1f} mm on the first scan — the bag's cloud "
+                f"does not follow the Ouster metadata model; rerun "
+                f"without --range-transfer")
+        if verbose:
+            print(f"range codec fidelity: median residual "
+                  f"{med * 1e3:.3f} mm over {int(okp.sum())} points")
 
     def run_events(s, label=""):
       # scan-collection delay queue: hold scans until IMU passes scan end
@@ -392,6 +454,11 @@ def main():
     ap.add_argument("--bulk", action="store_true",
                     help="offline batch mode (lidar+IMU bags): run scans "
                          "in lax.scan chunks — one dispatch per 32 scans")
+    ap.add_argument("--range-transfer", action="store_true",
+                    help="sensor-native range-image transfer codec (half "
+                         "the H2D bytes; needs Ouster metadata for the "
+                         "beam table; refuses if the bag's cloud does "
+                         "not follow the reconstruction model)")
     ap.add_argument("--two-pass", action="store_true",
                     help="mapping->localization refinement: replay again "
                          "against the frozen final map")
@@ -426,7 +493,8 @@ def main():
                        else None,
                        ouster_metadata=args.ouster_metadata,
                        two_pass=args.two_pass, smooth=args.smooth,
-                       debug_stream=stream, bulk=args.bulk)
+                       debug_stream=stream, bulk=args.bulk,
+                       range_transfer=args.range_transfer)
     if stream is not None:
         stream.close()
         print(f"debug stream -> {args.debug_stream} "

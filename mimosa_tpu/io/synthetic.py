@@ -259,15 +259,23 @@ def generate(world, tc: TrajectoryConfig, lm: LidarModel,
 def generate_ouster(world, tc: TrajectoryConfig, beam_altitudes,
                     pixel_shift_by_row, n_cols=256, period=0.1,
                     max_range=60.0, imu_rate=200, seed=0,
-                    imu_noise=0.0, range_noise=0.0, tex_amp=110.0):
+                    imu_noise=0.0, range_noise=0.0, tex_amp=110.0,
+                    beam_azimuths=None, beam_offset_m=0.0):
     """Staggered Ouster-format scans: points in sensor pixel-id order
     (row-major, staggered column fastest), measurement block c fired at
     ts_header + c/cols*period, per-row destagger shifts — the raw layout
     the reference's PBID fill + yaw table consume (photometric.cpp:72-243).
     Row v of block c samples the azimuth of destaggered column
-    (c + shift[v]) % cols. Returns the same structure as :func:`generate`
-    plus per-scan ``ring``; points are the sensor-frame returns AT FIRING
-    TIME (motion-skewed)."""
+    (c + shift[v]) % cols, or the EXACT per-beam azimuth offset when
+    ``beam_azimuths`` (radians, length rows) is given; a nonzero
+    ``beam_offset_m`` emulates the full affine Ouster driver model
+    p = s*dir + n*enc (lidar_origin_to_beam_origin — beams fire from a
+    ring of radius n around the encoder axis; Ouster Sensor Docs /
+    os_*.json beam_intrinsics), which is what
+    config.loader.ouster_ray_dirs inverts for the range_transfer codec.
+    Returns the same structure as :func:`generate` plus per-scan
+    ``ring``; points are the sensor-frame returns AT FIRING TIME
+    (motion-skewed)."""
     rng_np = np.random.default_rng(seed)
     traj = make_trajectory(tc)
     rows = len(beam_altitudes)
@@ -283,13 +291,24 @@ def generate_ouster(world, tc: TrajectoryConfig, beam_altitudes,
         * imu_noise * 0.1
 
     v, c = np.meshgrid(np.arange(rows), np.arange(n_cols), indexing="ij")
-    u_dest = (c + shifts[:, None]) % n_cols
-    az_s = np.pi * (1.0 - 2.0 * u_dest / n_cols)   # sensor-frame azimuth
+    az_enc = np.pi * (1.0 - 2.0 * c / n_cols)      # encoder angle
+    if beam_azimuths is not None:
+        az_s = az_enc - np.asarray(beam_azimuths)[:, None] \
+            * np.ones_like(az_enc)
+    else:
+        u_dest = (c + shifts[:, None]) % n_cols
+        az_s = np.pi * (1.0 - 2.0 * u_dest / n_cols)  # shift-quantized
     t_rel = (c / n_cols * period).reshape(-1)
     ca, sa = np.cos(az_s), np.sin(az_s)
     cal = np.cos(alt)[:, None] * np.ones_like(ca)
     sal = np.sin(alt)[:, None] * np.ones_like(ca)
     dirs = np.stack([cal * ca, cal * sa, sal], -1).reshape(-1, 3)
+    # beam origin offset in the sensor frame: each beam fires from
+    # n * enc (a ring of radius n around the encoder axis), and the
+    # driver reports p = s*dir + n*enc with s the beam-origin range
+    beam_orig = beam_offset_m * np.stack(
+        [np.cos(az_enc), np.sin(az_enc), np.zeros_like(az_enc)],
+        -1).reshape(-1, 3) if beam_offset_m else None
     ring = v.reshape(-1).astype(np.uint16)
     block = c.reshape(-1)
 
@@ -302,12 +321,16 @@ def generate_ouster(world, tc: TrajectoryConfig, beam_altitudes,
         qs, ps = f_pose(jnp.asarray(col_ts))
         Rb = np.asarray(lie.quat_to_mat(jnp.asarray(qs)))[block]
         o = np.asarray(ps)[block]
+        if beam_orig is not None:
+            o = o + np.einsum("nij,nj->ni", Rb, beam_orig)
         d_world = np.einsum("nij,nj->ni", Rb, dirs)
         rr = raycast(world, o, d_world, max_range)
         if range_noise:
             rr = rr + rng_np.normal(size=rr.shape) * range_noise
         valid = np.isfinite(rr)
         pts = dirs * np.where(valid, rr, 0.0)[:, None]
+        if beam_orig is not None:
+            pts = np.where(valid[:, None], pts + beam_orig, 0.0)
         hit_w = o + d_world * np.where(valid, rr, 0.0)[:, None]
         inten = np.where(
             valid,

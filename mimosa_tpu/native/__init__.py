@@ -222,7 +222,10 @@ def pack_scan(points, t_rel, valid, intensity, skip, n_out, ncol,
             _cptr(out, ctypes.c_int16), ctypes.byref(t_end))
         return out, float(t_end.value)
 
-    # numpy fallback (same semantics)
+    # numpy fallback (same semantics; f64 math + multiply-by-reciprocal
+    # quantization to stay bit-identical with the C++ — see pack_range)
+    inv_pos, inv_t = 1.0 / pos_res, 1.0 / t_res
+    inv_int = 1.0 / int_res if int_res > 0 else 0.0
     finite = np.isfinite(points).all(-1)
     ok = (finite if valid is None else (np.asarray(valid, bool) & finite)) \
         & np.isfinite(t_rel)
@@ -234,8 +237,9 @@ def pack_scan(points, t_rel, valid, intensity, skip, n_out, ncol,
     else:
         out[:] = 0
     out[:, 3] = -32768
-    p = np.nan_to_num(pts_s[:k], posinf=0.0, neginf=0.0)
-    q = p / pos_res
+    p = np.nan_to_num(pts_s[:k].astype(np.float64), posinf=0.0,
+                      neginf=0.0)
+    q = p * inv_pos
     if dither:
         lane = np.arange(k, dtype=np.uint64)   # packed row index
         q = q + np.stack([_dither01(lane, s) for s in _DITHER_SALTS],
@@ -243,26 +247,34 @@ def pack_scan(points, t_rel, valid, intensity, skip, n_out, ncol,
     out[:k, :3] = np.where(ok_s[:k, None],
                            np.clip(np.round(q), -32767, 32767),
                            0).astype(np.int16)
-    t_fin = np.nan_to_num(t_s[:k], posinf=0.0, neginf=0.0)
-    tq = np.clip(np.round(t_fin / t_res), 0, 65534) - 32767
+    t_fin = np.nan_to_num(t_s[:k].astype(np.float64), posinf=0.0,
+                          neginf=0.0)
+    tq = np.clip(np.round(t_fin * inv_t), 0, 65534) - 32767
     out[:k, 3] = np.where(ok_s[:k], tq, -32768).astype(np.int16)
     if ncol > 4:
         iv = np.zeros(n_in) if intensity is None else \
             np.nan_to_num(np.asarray(intensity, np.float64))
-        iq = np.clip(np.round(iv[::skip][:k] / int_res), 0, 32767)
+        iq = np.clip(np.round(iv[::skip][:k] * inv_int), 0, 32767)
         out[:k, 4] = np.where(ok_s[:k], iq, 0).astype(np.int16)
     return out, t_end
 
 
 def pack_range(points, t_rel, valid, intensity, skip, n_out, ncol,
-               r_res, t_res, int_res, dither=True, out=None):
+               r_res, t_res, int_res, dither=True, out=None, beam=None):
     """Fused sensor-native range-image pack (the range_transfer codec):
     point-skip + pad/truncate + int16 quantization of (range, t[,
-    intensity]) rows, range = |p| computed in f64 in the same pass.
+    intensity]) rows, range computed in f64 in the same pass — |p| for a
+    pure-radial beam model, or s = dot(p - offset, dir) when ``beam`` (f32
+    [n_out, 6]: unit dir xyz + per-lane offset xyz, PACKED-lane indexed)
+    carries the affine Ouster reconstruction model p = s*dir + offset
+    (lidar_origin_to_beam_origin — config/loader.py ouster_ray_dirs).
     Sentinel t == -32768 marks invalid lanes; subtractive per-lane range
     dither uses the x-axis salt. Returns (out int16 [n_out, ncol], t_end)
     with t_end the max t over valid finite lanes of the FULL-density
-    input. Numpy fallback is bit-identical."""
+    input. The numpy fallback is bit-identical (same
+    multiply-by-reciprocal quantization expressions as the C++ —
+    tests/test_native.py::test_pack_range_numpy_parity pins it; a 1-ULP
+    rounding-boundary flip can decide convergence on marginal scenes)."""
     points = np.ascontiguousarray(points)
     t_rel = np.ascontiguousarray(t_rel)
     if points.dtype not in (np.float32, np.float64):
@@ -289,19 +301,30 @@ def pack_range(points, t_rel, valid, intensity, skip, n_out, ncol,
             if inten.dtype not in (np.float32, np.float64):
                 inten = inten.astype(np.float64)
             ic = dt[inten.dtype]
+        bm = None
+        if beam is not None:
+            bm = np.ascontiguousarray(beam, np.float32)
+            assert bm.shape == (n_out, 6)
         lib.mimosa_pack_range(
             _cptr(points, ctypes.c_float), ctypes.c_int32(dt[points.dtype]),
             _cptr(t_rel, ctypes.c_float), ctypes.c_int32(dt[t_rel.dtype]),
             _cptr(vd, ctypes.c_uint8) if vd is not None else None,
             _cptr(inten, ctypes.c_float) if inten is not None else None,
-            ctypes.c_int32(ic), ctypes.c_int64(n_in), ctypes.c_int64(skip),
+            ctypes.c_int32(ic),
+            _cptr(bm, ctypes.c_float) if bm is not None else None,
+            ctypes.c_int64(n_in), ctypes.c_int64(skip),
             ctypes.c_int64(n_out), ctypes.c_int32(ncol),
             ctypes.c_double(r_res), ctypes.c_double(t_res),
             ctypes.c_double(int_res), ctypes.c_int32(1 if dither else 0),
             _cptr(out, ctypes.c_int16), ctypes.byref(t_end))
         return out, float(t_end.value)
 
-    # numpy fallback (same semantics incl. f64 range math)
+    # numpy fallback (same semantics incl. f64 range math; quantization
+    # uses the SAME multiply-by-reciprocal expressions as the C++ — a
+    # divide can differ by 1 ULP at rounding boundaries, and one LSB flip
+    # decides convergence on marginal scenes)
+    inv_r, inv_t = 1.0 / r_res, 1.0 / t_res
+    inv_int = 1.0 / int_res if int_res > 0 else 0.0
     finite = np.isfinite(points).all(-1)
     ok = (finite if valid is None else (np.asarray(valid, bool) & finite)) \
         & np.isfinite(t_rel)
@@ -315,19 +338,24 @@ def pack_range(points, t_rel, valid, intensity, skip, n_out, ncol,
     out[:, 1] = -32768
     p = np.nan_to_num(pts_s[:k].astype(np.float64), posinf=0.0,
                       neginf=0.0)
-    r = np.sqrt(np.einsum("ij,ij->i", p, p))
-    qr = r / r_res
+    if beam is not None:
+        bm = np.ascontiguousarray(beam, np.float32).astype(np.float64)
+        r = np.einsum("ij,ij->i", p - bm[:k, 3:6], bm[:k, 0:3])
+    else:
+        r = np.sqrt(np.einsum("ij,ij->i", p, p))
+    qr = r * inv_r
     if dither:
         qr = qr + _dither01(np.arange(k, dtype=np.uint64),
                             _DITHER_SALTS[0])
     qr = np.clip(np.round(qr), 0, 65534) - 32767
     out[:k, 0] = np.where(ok_s[:k], qr, 0).astype(np.int16)
-    t_fin = np.nan_to_num(t_s[:k], posinf=0.0, neginf=0.0)
-    tq = np.clip(np.round(t_fin / t_res), 0, 65534) - 32767
+    t_fin = np.nan_to_num(t_s[:k].astype(np.float64), posinf=0.0,
+                          neginf=0.0)
+    tq = np.clip(np.round(t_fin * inv_t), 0, 65534) - 32767
     out[:k, 1] = np.where(ok_s[:k], tq, -32768).astype(np.int16)
     if ncol > 2:
         iv = np.zeros(n_in) if intensity is None else \
             np.nan_to_num(np.asarray(intensity, np.float64))
-        iq = np.clip(np.round(iv[::skip][:k] / int_res), 0, 32767)
+        iq = np.clip(np.round(iv[::skip][:k] * inv_int), 0, 32767)
         out[:k, 2] = np.where(ok_s[:k], iq, 0).astype(np.int16)
     return out, t_end

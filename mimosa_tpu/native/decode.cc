@@ -215,7 +215,8 @@ extern "C" int64_t mimosa_pack_scan(const void* pts, int32_t pts_dtype,
 extern "C" int64_t mimosa_pack_range(const void* pts, int32_t pts_dtype,
                                      const void* t_rel, int32_t t_dtype,
                                      const uint8_t* valid, const void* inten,
-                                     int32_t inten_dtype, int64_t n_in,
+                                     int32_t inten_dtype, const float* beam,
+                                     int64_t n_in,
                                      int64_t skip, int64_t n_out,
                                      int32_t ncol, double r_res,
                                      double t_res, double int_res,
@@ -227,7 +228,8 @@ extern "C" int64_t mimosa_pack_range(const void* pts, int32_t pts_dtype,
 #define CALLR(PT, TT, IT)                                                 \
   pack_range_impl<PT, TT, IT>(static_cast<const PT*>(pts),                \
                               static_cast<const TT*>(t_rel), valid,       \
-                              static_cast<const IT*>(inten), n_in, skip,  \
+                              static_cast<const IT*>(inten), beam, n_in,  \
+                              skip,                                       \
                               n_out, ncol, r_res, t_res, int_res, dither, \
                               out, t_end_out)
   if (p64) {

@@ -203,3 +203,37 @@ def test_organize_by_ring_skip_semantics():
     kept_per_ring = [int(np.sum(keep & (rings == r)))
                      for r in range(n_rings)]
     assert kept_per_ring == [per_ring // skip] * n_rings
+
+
+@pytest.mark.parametrize("skip,n_out,ncol,with_beam", [
+    (1, 512, 2, False),
+    (4, 64, 3, False),
+    (1, 257, 3, True),     # affine Ouster beam table, exact fit
+    (2, 100, 2, True),     # skip + truncation with beam table
+])
+def test_pack_range_native_matches_numpy(lib, skip, n_out, ncol,
+                                         with_beam):
+    """pack_range native vs numpy fallback must be BIT-identical —
+    including the affine beam-table path (advisor r3: the two previously
+    used divide vs multiply-by-reciprocal, a 1-ULP difference at rounding
+    boundaries, and one quantization-LSB flip decides convergence on
+    marginal scenes)."""
+    pts, t, valid, inten = _pack_inputs(11 + skip)
+    beam = None
+    if with_beam:
+        rng = np.random.default_rng(5)
+        dirs = rng.normal(size=(n_out, 3))
+        dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+        off = rng.normal(scale=0.03, size=(n_out, 3))
+        beam = np.concatenate([dirs, off], -1).astype(np.float32)
+    args = (pts, t, valid, inten if ncol > 2 else None,
+            skip, n_out, ncol, 0.005, 2e-6, 0.1)
+    out_n, te_n = native.pack_range(*args, beam=beam)
+    saved = native._LIB, native._LIB_FAILED
+    try:
+        native._LIB, native._LIB_FAILED = None, True
+        out_p, te_p = native.pack_range(*args, beam=beam)
+    finally:
+        native._LIB, native._LIB_FAILED = saved
+    np.testing.assert_array_equal(out_n, out_p)
+    assert te_n == te_p

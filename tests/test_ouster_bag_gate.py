@@ -109,3 +109,101 @@ def test_enwide_config_ouster_bag_replay(tmp_path):
     # photometric features were detected AND tracked through the replay
     dbg = s.debug_records()
     assert dbg[5:, 12].max() > 5, "no photometric tracking in the replay"
+
+
+@pytest.mark.timeout(1800)
+@pytest.mark.heavy
+def test_enwide_config_ouster_bag_replay_range_transfer(tmp_path):
+    """The sensor-native range codec through the production bag CLI
+    (--range-transfer): beam table from the Ouster metadata (incl. the
+    affine lidar_origin_to_beam_origin term — the bag is generated with
+    the same 27.67 mm offset its metadata declares), codec fidelity gate,
+    full geo+photometric pipeline on int16 (range, t, intensity) lanes
+    (VERDICT r3 item 6: the codec the bench crowns must be reachable
+    from the real-config path)."""
+    meta_path, alts_deg, shifts = _derived_metadata(tmp_path)
+    alts = np.radians(alts_deg)
+    with open(meta_path) as f:
+        n_off = json.load(f)["beam_intrinsics"][
+            "lidar_origin_to_beam_origin_mm"] * 1e-3
+
+    world = syn.room_world()
+    tc = syn.TrajectoryConfig(t_total=4.0)
+    data = syn.generate_ouster(world, tc, alts, shifts, n_cols=COLS,
+                               seed=0, imu_noise=0.005, range_noise=0.005,
+                               beam_offset_m=n_off)
+
+    bag = tmp_path / "ouster_range.bag"
+    w = BagWriter(str(bag))
+    events = [(t, "imu", k) for k, t in enumerate(data["imu"]["ts"])]
+    for k, sc in enumerate(data["scans"]):
+        events.append((sc["ts_header"] + sc["t_rel"].max() + 0.01,
+                       "scan", k))
+    events.sort()
+    for t, kind, k in events:
+        if kind == "imu":
+            imu = data["imu"]
+            w.write("/os_cloud_node/imu", "sensor_msgs/Imu", t,
+                    serialize_imu(imu["ts"][k], imu["acc"][k],
+                                  imu["gyro"][k]))
+        else:
+            sc = data["scans"][k]
+            w.write("/os_cloud_node/points", "sensor_msgs/PointCloud2", t,
+                    serialize_ouster_cloud(sc["ts_header"], sc["points"],
+                                           sc["intensity"], sc["t_rel"],
+                                           ring=sc["ring"]))
+    w.close()
+
+    from mimosa_tpu.io.replay import replay_bag
+
+    s = replay_bag(str(bag), ENWIDE_YAML, "/os_cloud_node/imu",
+                   "/os_cloud_node/points", ouster_metadata=meta_path,
+                   max_scan_points=ROWS * COLS, verbose=False,
+                   n_geo_points=4096, n_map_points=8192, n_gn_iters=3,
+                   range_transfer=True)
+
+    assert s.cfg.range_transfer
+    assert s._ray_dirs is not None and s._ray_dirs.shape[1] == 6
+    assert s.photo_cfg is not None          # geo+photo on ncol=3 lanes
+
+    est = s.trajectory
+    assert len(est) >= 20, len(est)
+    est_ts = np.asarray([t for t, _, _ in est])
+    est_p = np.asarray([p for _, p, _ in est])
+    ate = syn.ate_rmse(est_ts, est_p, data["gt"]["ts"], data["gt"]["pos"])
+    assert ate < 0.08, f"ATE {ate:.3f} m (range codec, enwide config)"
+
+
+def test_range_transfer_refuses_mismatched_cloud(tmp_path):
+    """A bag whose cloud does NOT follow the metadata's reconstruction
+    model (here: generated withOUT the 27.67 mm beam-origin offset the
+    metadata declares) must be refused by the fidelity gate, not silently
+    decoded into a corrupted cloud."""
+    meta_path, alts_deg, shifts = _derived_metadata(tmp_path)
+    alts = np.radians(alts_deg)
+    world = syn.room_world()
+    tc = syn.TrajectoryConfig(t_total=1.6)
+    data = syn.generate_ouster(world, tc, alts, shifts, n_cols=COLS,
+                               seed=0)       # radial model, offset 0
+    bag = tmp_path / "ouster_bad.bag"
+    w = BagWriter(str(bag))
+    for k, t in enumerate(data["imu"]["ts"]):
+        imu = data["imu"]
+        w.write("/os_cloud_node/imu", "sensor_msgs/Imu", t,
+                serialize_imu(imu["ts"][k], imu["acc"][k],
+                              imu["gyro"][k]))
+    for sc in data["scans"]:
+        w.write("/os_cloud_node/points", "sensor_msgs/PointCloud2",
+                sc["ts_header"] + sc["t_rel"].max() + 0.01,
+                serialize_ouster_cloud(sc["ts_header"], sc["points"],
+                                       sc["intensity"], sc["t_rel"],
+                                       ring=sc["ring"]))
+    w.close()
+
+    from mimosa_tpu.io.replay import replay_bag
+
+    with pytest.raises(ValueError, match="reconstruction residual"):
+        replay_bag(str(bag), ENWIDE_YAML, "/os_cloud_node/imu",
+                   "/os_cloud_node/points", ouster_metadata=meta_path,
+                   max_scan_points=ROWS * COLS, verbose=False,
+                   range_transfer=True)
