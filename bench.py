@@ -6,6 +6,18 @@ the reference's ENWIDE configuration: lag 0.5 s, 5 additional update
 iterations, mimosa/config/enwide/params.yaml:30,52) through the full
 Sequencer pipeline and reports steady-state scans/s.
 
+Schedule/codec variants (streaming vs offline-bulk x xyz-int16 vs
+sensor-native range codec, plus the geo+photometric PG-LIO pipeline in
+both schedules) are measured ROUND-ROBIN — every variant runs once per
+round, repeated R rounds — so each per-variant median aggregates samples
+spread across the whole process lifetime. The tunneled relay's
+throughput drifts/steps WITHIN a session (r3: the range codec measured
+2.4x slower than the fatter xyz codec purely because it ran last);
+interleaving makes variant-vs-variant deltas in-session paired instead
+of session-phase artifacts. A dispatch-floor relay-health probe runs at
+start/mid/end so round-over-round headline swings are attributable to
+the session, not the code.
+
 Baseline: the reference sustains real-time 10 scans/s on a robot CPU
 (BASELINE.md — no published numbers beyond real-time operation);
 vs_baseline = scans_per_s / 10. Target >= 5.
@@ -42,7 +54,10 @@ def main():
     tpu_ok = _tpu_alive()          # None = user-requested CPU
     import jax
 
-    if tpu_ok is False:
+    if tpu_ok is None or tpu_ok is False:
+        # the container sitecustomize FORCES jax_platforms to the tunneled
+        # TPU and ignores the env var (CLAUDE.md) — apply the CPU request
+        # (or the dead-TPU degradation) via the config instead
         jax.config.update("jax_platforms", "cpu")
     # persistent compile cache: first-ever compile through the axon relay
     # costs minutes; cached reruns are seconds
@@ -56,12 +71,34 @@ def main():
     from mimosa_tpu.lidar import geometric as geo
     from mimosa_tpu.mapping import voxel_hash as vh
 
+    import os
+    # smoke knobs (CI/CPU): MIMOSA_BENCH_TT trims the sequence length,
+    # MIMOSA_BENCH_ROWS the scan height — the TPU artifact uses defaults
+    _tt = float(os.environ.get("MIMOSA_BENCH_TT", 9.0))
+    _rows = int(os.environ.get("MIMOSA_BENCH_ROWS", 128))
     world = syn.room_world(lx=30.0, ly=16.0, lz=6.0)
-    tc = syn.TrajectoryConfig(t_total=9.0, amp=(6.0, 3.0, 0.8),
+    tc = syn.TrajectoryConfig(t_total=_tt, amp=(6.0, 3.0, 0.8),
                               center=(12.0, 8.0, 2.0))
-    lm = syn.LidarModel(n_rows=128, n_cols=1024)   # OS-0-128 scale
+    lm = syn.LidarModel(n_rows=_rows, n_cols=1024)   # OS-0-128 scale
     data = syn.generate(world, tc, lm, seed=0, imu_noise=0.01,
                         range_noise=0.01)
+
+    # relay-health probe: median wall per CHAINED tiny jitted dispatch
+    # (no readbacks — readbacks would themselves poison the session,
+    # CLAUDE.md). A healthy streamed-dispatch session sits at ~0.1-0.3 ms;
+    # a degraded one at ~25 ms/program. Run at start/mid/end so the
+    # artifact can attribute a headline swing to session luck.
+    _probe_x = jax.device_put(np.zeros(8, np.float32))
+    _probe_f = jax.jit(lambda x: x * 1.000001 + 1.0)
+
+    def relay_floor_ms(n=60):
+        y = _probe_f(_probe_x)            # warm/compile outside timing
+        jax.block_until_ready(y)
+        t0 = time.perf_counter()
+        for _ in range(n):
+            y = _probe_f(y)
+        jax.block_until_ready(y)
+        return 1e3 * (time.perf_counter() - t0) / n
 
     # one shared step cache across all replays: a fresh Sequencer otherwise
     # re-traces each jitted step and re-queries the compile cache, which
@@ -118,14 +155,15 @@ def main():
     def replay_once(photo=False, n_gn_iters=3, time_host=False,
                     range_transfer=False):
         """One full replay; returns (steady-state scans/s, sequencer,
-        median per-scan wall ms). The median is the stall-robust figure
-        for stage ATTRIBUTION (one relay hiccup — a late compile-cache
-        query, a server-side GC — inflates a total-time rate 10-20x but
-        moves a median of ~60 samples not at all; observed exactly that
-        in a r3 session: the 0-GN attribution replay's total said 31
-        scans/s while every per-scan sample sat at ~1.5 ms).
-        ``time_host=True`` additionally medians the per-scan host time
-        (pack + IMU feed — non-blocking work on the critical path)."""
+        median per-scan wall ms [, median host ms]). The median is the
+        stall-robust figure for stage ATTRIBUTION (one relay hiccup — a
+        late compile-cache query, a server-side GC — inflates a
+        total-time rate 10-20x but moves a median of ~60 samples not at
+        all; observed exactly that in a r3 session: the 0-GN attribution
+        replay's total said 31 scans/s while every per-scan sample sat
+        at ~1.5 ms). ``time_host=True`` additionally medians the
+        per-scan host time (pack + IMU feed — non-blocking work on the
+        critical path)."""
         s = make_sequencer(photo, n_gn_iters=n_gn_iters,
                            range_transfer=range_transfer)
         host_ts = []
@@ -170,12 +208,12 @@ def main():
             return rate, s, t_med, 1e3 * float(np.median(host_ts[n_warm:]))
         return rate, s, t_med
 
-    def replay_once_bulk(chunk=32, range_transfer=False):
+    def replay_once_bulk(chunk=32, range_transfer=False, photo=False):
         """Offline batch replay: stream the first n_warm scans (init +
         window fill + jit warm), then run the rest through
         add_scans_bulk — chunks of scan steps under one lax.scan dispatch
         (one packed H2D per chunk, zero per-scan host work)."""
-        s = make_sequencer(range_transfer=range_transfer)
+        s = make_sequencer(photo=photo, range_transfer=range_transfer)
         imu = data["imu"]
         s.add_imu_batch(imu["ts"], imu["acc"], imu["gyro"])
         n_warm = min(20, len(scans) // 3)
@@ -189,116 +227,131 @@ def main():
         jax.block_until_ready(s.window.p)
         return (len(scans) - n_warm) / (time.time() - t0), s
 
-    # Median of 3 replays in one process: the dev tunnel's relay throughput
-    # varies +-30% between sessions, so a single cold pass measures session
-    # luck, not the chip. Repetition 1 also absorbs all compiles.
-    rates = []
-    scan_meds = []
-    for _ in range(3):
-        sps_i, s, t_med_i = replay_once()
-        rates.append(sps_i)
-        scan_meds.append(t_med_i)
-    sps = float(np.median(rates))
+    # ---- round-robin measurement: every variant runs once per ROUND so
+    # per-variant medians aggregate samples from the same session phases
+    # (r3's sequential layout measured the half-the-bytes range codec
+    # 2.4x SLOWER than the fat codec purely because it ran last). Round 0
+    # additionally absorbs every program's compile; its samples still
+    # enter the median (median of 3 tolerates one cold sample).
+    VARIANTS = [
+        ("streaming", dict()),
+        ("offline-bulk", dict(bulk=True)),
+        ("streaming-range", dict(range_transfer=True)),
+        ("offline-bulk-range", dict(bulk=True, range_transfer=True)),
+        ("photo-streaming", dict(photo=True)),
+        ("photo-bulk", dict(bulk=True, photo=True)),
+    ]
+    R = 3
+    rates = {name: [] for name, _ in VARIANTS}
+    scan_meds = []                  # per-round streaming 3-GN per-scan ms
+    nogn_meds = []                  # per-round streaming 0-GN per-scan ms
+    host_meds = []
+    seqs = {}                       # last sequencer per variant (for ATE)
+    floors = [relay_floor_ms()]
+    for r in range(R):
+        for name, kw in VARIANTS:
+            if kw.get("bulk"):
+                rate_i, s_i = replay_once_bulk(
+                    range_transfer=kw.get("range_transfer", False),
+                    photo=kw.get("photo", False))
+            else:
+                rate_i, s_i, t_med_i = replay_once(
+                    photo=kw.get("photo", False),
+                    range_transfer=kw.get("range_transfer", False))
+                if name == "streaming":
+                    scan_meds.append(t_med_i)
+                    # paired 0-GN attribution replay IMMEDIATELY after its
+                    # 3-GN partner: the t_gn delta is then an in-session
+                    # adjacent pairing, not a cross-phase artifact (r3's
+                    # t_gn came out 0.0 because the lone 0-GN replay ran
+                    # in a different session phase and measured SLOWER)
+                    _r0, _s0, t_nogn_i, t_host_i = replay_once(
+                        n_gn_iters=0, time_host=True)
+                    nogn_meds.append(t_nogn_i)
+                    host_meds.append(t_host_i)
+            rates[name].append(rate_i)
+            seqs[name] = s_i
+        if r == R // 2 - 1 or R == 1:
+            floors.append(relay_floor_ms())
+    floors.append(relay_floor_ms())
 
-    # offline bulk mode (same _scan_step math under lax.scan chunks)
-    bulk_rates = []
-    s_bulk = None
-    for _ in range(3):
-        sps_b, s_bulk = replay_once_bulk()
-        bulk_rates.append(sps_b)
-    sps_bulk = float(np.median(bulk_rates))
-
-    # secondary figure: the full PG-LIO geometric+photometric pipeline
-    photo_rates = []
-    for _ in range(2):
-        sps_p, _s2, _tm = replay_once(photo=True)
-        photo_rates.append(sps_p)
-    sps_photo = float(np.median(photo_rates))
-
-    # sensor-native range-image codec (half the H2D bytes; same
-    # estimator): streaming + bulk. Runs AFTER the xyz figures so a
-    # relay-session downgrade triggered by the extra program compiles
-    # (first run on a cold disk cache) cannot contaminate the headline.
-    rt_rates, rt_bulk_rates = [], []
-    s_rt = s_rtb = None
-    for _ in range(2):
-        r_i, s_rt, _tm = replay_once(range_transfer=True)
-        rt_rates.append(r_i)
-    for _ in range(2):
-        r_i, s_rtb = replay_once_bulk(range_transfer=True)
-        rt_bulk_rates.append(r_i)
-    sps_rt = float(np.median(rt_rates))
-    sps_rt_bulk = float(np.median(rt_bulk_rates))
-
-    # ---- per-stage attribution (ref LidarManagerDebug t_* stage fields):
-    # the relay's session-to-session throughput swings ±30%, so the
-    # headline number alone cannot localize a regression. Attribution is
-    # measured with the SAME async pattern as the headline (any blocked
-    # measurement on a tunneled device is dominated by ~25 ms sync
-    # round-trips, not pipeline time — r2's floor-subtraction numbers
-    # were relay artifacts) and uses per-scan MEDIANS, not total-time
-    # rates (a single relay stall — late compile-cache query, server GC —
-    # inflates a 60-scan total 10-20x; r3 observed rate0=31/s with every
-    # per-scan sample at 1.5 ms): t_scan = median per-scan wall; t_gn =
-    # median diff vs a 0-GN-iteration replay (same program minus the GN
-    # loop); t_host = median non-blocking host work per scan (pack + IMU
-    # feed + dispatch python).
-    _r0, _s0, t_scan_nogn_ms, t_host_ms = replay_once(n_gn_iters=0,
-                                                      time_host=True)
+    med = {name: float(np.median(rs)) for name, rs in rates.items()}
     t_scan_ms = float(np.median(scan_meds))
-    t_gn_ms = max(t_scan_ms - t_scan_nogn_ms, 0.0)
+    # per-round PAIRED deltas (3-GN minus adjacent 0-GN), then median —
+    # each delta is two back-to-back replays of the same session phase
+    t_gn_deltas = [a - b for a, b in zip(scan_meds, nogn_meds)]
+    t_gn_ms = float(np.median(t_gn_deltas))
+    t_host_ms = float(np.median(host_meds))
 
     # ALL device->host fetches (trajectory reads for ATE) happen strictly
-    # AFTER the last timed replay: the first end-of-replay fetch knocks
-    # the relay session off streamed dispatch and pins every SUBSEQUENT
-    # replay in the process at ~41 scans/s (probe_poison2/3 phase D —
-    # exactly how r2's attribution fields got poisoned)
+    # AFTER the last timed replay: the first readback knocks the relay
+    # session off streamed dispatch and pins every SUBSEQUENT replay in
+    # the process at ~41 scans/s (probe_poison2/3 phase D — exactly how
+    # r2's attribution fields got poisoned)
     def _ate(sq):
         ts = np.asarray([t for t, _, _ in sq.trajectory])
         p = np.asarray([p for _, p, _ in sq.trajectory])
         return syn.ate_rmse(ts, p, data["gt"]["ts"], data["gt"]["pos"])
 
-    ate = _ate(s)
-    ate_bulk = _ate(s_bulk)
-    ate_rt = _ate(s_rt)
-    ate_rt_bulk = _ate(s_rtb)
+    ates = {name: _ate(s_i) for name, s_i in seqs.items()}
 
     # ATE gate: a codec/schedule variant only competes for the headline
-    # if its trajectory tracked (guards against a fast-but-broken path)
-    cands = [(sps, "streaming", ate), (sps_bulk, "offline-bulk", ate_bulk),
-             (sps_rt, "streaming-range", ate_rt),
-             (sps_rt_bulk, "offline-bulk-range", ate_rt_bulk)]
-    ok = [c for c in cands if c[2] < 0.05] or cands[:2]
-    best, best_mode, _ = max(ok, key=lambda c: c[0])
+    # if its trajectory tracked (guards against a fast-but-broken path).
+    # If EVERY variant fails the gate the round is broken — say so loudly
+    # (gate_failed + an "ungated-" mode prefix) instead of silently
+    # crowning a fast-but-wrong run (r3 advisor finding).
+    cands = [(med[name], name, ates[name]) for name, _ in VARIANTS]
+    ok = [c for c in cands if c[2] < 0.05]
+    gate_failed = not ok
+    best, best_mode, _ = max(ok or cands, key=lambda c: c[0])
+    if gate_failed:
+        best_mode = "ungated-" + best_mode
     print(json.dumps({
         "metric": "lidar_scans_per_s_per_chip",
-        # the best replay schedule/codec of the SAME pipeline: streaming
-        # (per-scan dispatch, the online pattern) vs bulk (lax.scan
-        # chunks, the offline batch pattern), each with the xyz-int16 or
-        # the sensor-native range-image transfer codec — all produce the
-        # gated trajectory (ate_m fields)
+        # the best ATE-gated replay schedule/codec of the SAME pipeline:
+        # streaming (per-scan dispatch, the online pattern) vs bulk
+        # (lax.scan chunks, the offline batch pattern), each with the
+        # xyz-int16 or the sensor-native range-image transfer codec
         "value": round(best, 2),
         "unit": "scans/s (128x1024 pts, K=8 window, 3+1 ICP linearize)",
         "vs_baseline": round(best / 10.0, 2),
         "mode": best_mode,
-        "streaming_scans_per_s": round(sps, 2),
-        "ate_m": round(ate, 4),
-        "photo_scans_per_s": round(sps_photo, 2),
+        **({"gate_failed": True} if gate_failed else {}),
+        "streaming_scans_per_s": round(med["streaming"], 2),
+        "ate_m": round(ates["streaming"], 4),
+        # full PG-LIO pipeline (geo+photometric), both schedules
+        "photo_scans_per_s": round(med["photo-streaming"], 2),
+        "photo_ate_m": round(ates["photo-streaming"], 4),
+        "photo_bulk_scans_per_s": round(med["photo-bulk"], 2),
+        "photo_bulk_ate_m": round(ates["photo-bulk"], 4),
         # offline batch mode: identical per-scan program under lax.scan
         # chunks (one dispatch + one packed transfer per 32 scans)
-        "bulk_scans_per_s": round(sps_bulk, 2),
-        "bulk_ate_m": round(ate_bulk, 4),
-        "bulk_rates_all_runs": [round(r, 1) for r in bulk_rates],
+        "bulk_scans_per_s": round(med["offline-bulk"], 2),
+        "bulk_ate_m": round(ates["offline-bulk"], 4),
         # sensor-native range-image codec (half the H2D bytes)
-        "range_scans_per_s": round(sps_rt, 2),
-        "range_ate_m": round(ate_rt, 4),
-        "range_bulk_scans_per_s": round(sps_rt_bulk, 2),
-        "range_bulk_ate_m": round(ate_rt_bulk, 4),
+        "range_scans_per_s": round(med["streaming-range"], 2),
+        "range_ate_m": round(ates["streaming-range"], 4),
+        "range_bulk_scans_per_s": round(med["offline-bulk-range"], 2),
+        "range_bulk_ate_m": round(ates["offline-bulk-range"], 4),
+        # per-stage attribution (ref LidarManagerDebug t_* fields),
+        # medians of per-scan walls with the SAME async pattern as the
+        # headline; t_gn from per-round ADJACENT 3-GN/0-GN pairings
         "t_scan_ms": round(t_scan_ms, 3),
-        "t_scan_nogn_ms": round(t_scan_nogn_ms, 3),
         "t_host_ms": round(t_host_ms, 3),
         "t_gn_ms": round(t_gn_ms, 3),
-        "rates_all_runs": [round(r, 1) for r in rates],
+        "t_gn_deltas_ms": [round(d, 3) for d in t_gn_deltas],
+        # positive-at-3+1-linearizations sanity: if false, the session
+        # noise floor exceeded the GN cost — do not read t_gn_ms
+        "t_gn_consistent": bool(t_gn_ms > 0),
+        # relay session health: dispatch-floor ms at start/mid/end
+        # (healthy streamed session ~0.1-0.3; degraded ~25). Explains
+        # round-over-round headline swings: compare these before blaming
+        # the code.
+        "relay_floor_ms": [round(f, 3) for f in floors],
+        # raw per-round rates, interleaved order — variant deltas within
+        # a round are in-session paired
+        "rates_by_variant": {k: [round(r, 1) for r in v]
+                             for k, v in rates.items()},
         "platform": jax.devices()[0].platform,
         # True ONLY when the TPU probe failed (not a user-requested CPU
         # run) — compare against BENCH_r*.json TPU figures, not this
