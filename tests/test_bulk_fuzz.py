@@ -1,0 +1,207 @@
+"""Randomized multimodal-stream fuzz: add_bulk vs streaming equivalence.
+
+``Sequencer.add_bulk`` re-implements the streaming decision tree as a
+host-side eligibility simulation (declare/same-key gating, lag, the
+odometry anchor-slot mirror — sequencer.py add_bulk); the fixed-scenario
+tests in test_bulk.py pin only a handful of its boundaries. This fuzz
+drives >=20 seeded random event streams — varying lidar/radar/odometry
+rates, scan dropouts, duplicated same-key scans, tie-timestamp OOO radar,
+D-optimality odometry rejects, anchor loss/re-establishment, lag on/off,
+varying chunk sizes — and asserts the bulk and streaming replays produce
+identical state sequences, trajectories and counters, with every
+fallback branch exercised at least once across the corpus (asserted via
+counters). Reference semantics: the single streaming define path of
+/root/reference/mimosa/src/graph/manager.cpp:138-499.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mimosa_tpu.graph import sequencer as seq
+from mimosa_tpu.graph import window as win
+from mimosa_tpu.io import synthetic as syn
+from mimosa_tpu.lidar import geometric as geo
+from mimosa_tpu.mapping import voxel_hash as vh
+
+import os
+
+N_SEEDS = int(os.environ.get("MIMOSA_FUZZ_SEEDS", 20))
+
+# shared across every sequencer in the module: all seeds use the same
+# device-program configs, so each distinct program compiles exactly once
+_STEP_CACHE = {}
+
+
+def _make_sequencer(**kw):
+    return seq.Sequencer(
+        seq_cfg=seq.SequencerConfig(
+            max_scan_points=1024, n_geo_points=1024, n_map_points=2048,
+            geo_leaf=0.4, map_insert_leaf=0.15,
+            keyframe_trans_thresh=0.3, keyframe_rot_thresh=0.15,
+            n_gn_iters=1, **kw),
+        win_cfg=win.WindowConfig(K=4),
+        map_cfg=vh.VoxelMapConfig(leaf_size=0.4, capacity_log2=13,
+                                  plane_min_points=5, lru_horizon=0),
+        geo_cfg=geo.GeometricConfig(),
+        dtype=jnp.float32,
+        step_cache=_STEP_CACHE,
+    )
+
+
+@pytest.fixture(scope="module")
+def base():
+    world = syn.room_world()
+    tc = syn.TrajectoryConfig(t_total=3.5)
+    lm = syn.LidarModel(n_rows=8, n_cols=128)
+    data = syn.generate(world, tc, lm, seed=0)
+    traj = syn.make_trajectory(tc)
+    return data, traj, tc
+
+
+def _fuzz_stream(base, seed):
+    """One randomized event stream + its SequencerConfig kwargs."""
+    data, traj, tc = base
+    rng = np.random.default_rng(seed)
+    msgs = []
+
+    # lidar: random dropouts (5-20%) plus occasional duplicated scans at
+    # +2 ms (same-key path: < min_imu_between_states IMU since the state)
+    scans = list(data["scans"])
+    drop_p = rng.uniform(0.05, 0.2)
+    t_ends = []
+    for k, sc in enumerate(scans):
+        if k > 6 and rng.random() < drop_p:
+            continue
+        msgs.append(sc)
+        t_ends.append(seq.Sequencer._scan_t_end(sc))
+        if k > 6 and rng.random() < 0.1:
+            dup = dict(sc, ts_header=sc["ts_header"] + 2e-3)
+            msgs.append(dup)
+            t_ends.append(seq.Sequencer._scan_t_end(dup))
+
+    # radar: random rate (0 = lidar-only seed), jittered stamps, plus a
+    # few frames pinned EXACTLY at a scan's corrected end ts — in sorted
+    # dispatch order those fail the strictly-after check and take the
+    # streaming OOO/same-key paths
+    # modest rates: every radar event is a separate jit dispatch in the
+    # STREAMING reference replay (~0.1 s each on CPU) — high rates made
+    # the corpus an hour-long gate for no extra branch coverage
+    radar_rate = rng.choice([0.0, 7.0, 11.0, 14.0])
+    if radar_rate > 0:
+        frames = syn.generate_radar(traj, tc, rate=radar_rate,
+                                    n_targets=32, seed=seed)
+        for fr in frames:
+            ts = fr["ts"] + rng.normal() * 2e-3
+            msgs.append(dict(kind="radar", ts=ts, points_r=fr["points"],
+                             doppler=fr["doppler"], snr_db=fr["snr_db"]))
+        for te in rng.choice(t_ends[5:], size=min(3, len(t_ends) - 5),
+                             replace=False):
+            fr = frames[int(rng.integers(len(frames)))]
+            msgs.append(dict(kind="radar", ts=float(te),
+                             points_r=fr["points"], doppler=fr["doppler"],
+                             snr_db=fr["snr_db"]))
+
+    # odometry: low rates force the anchor slot out of the K=4 window
+    # between messages (re-establishment fallback); a fraction carry an
+    # inflated covariance that fails the D-optimality gate
+    odom_rate = rng.choice([0.0, 1.5, 4.0, 7.0])
+    if odom_rate > 0:
+        odom = syn.generate_odometry(traj, tc, rate=odom_rate, seed=seed)
+        for m in odom:
+            cov = m["cov"] * (1e9 if rng.random() < 0.15 else 1.0)
+            msgs.append(dict(kind="odom", ts=m["ts"] + rng.normal() * 2e-3,
+                             q=m["q"], p=m["t"], cov6=cov))
+
+    cfg_kw = {}
+    if rng.random() < 0.4:
+        # ONE lag value: each distinct SequencerConfig is a fresh config
+        # salt, and every salt recompiles the whole program set (the
+        # multimodal switch body alone is minutes of XLA CPU compile)
+        cfg_kw["lag_secs"] = 0.3
+    chunk = int(rng.choice([4, 6, 8]))
+    return msgs, cfg_kw, chunk
+
+
+def _replay(base, msgs, cfg_kw, chunk, bulk):
+    data, _, _ = base
+    s = _make_sequencer(**cfg_kw)
+    imu = data["imu"]
+    s.add_imu_batch(imu["ts"], imu["acc"], imu["gyro"])
+    if bulk:
+        s.add_bulk(msgs, chunk=chunk)
+        return s
+    # streaming reference in the canonical dispatch order (what the
+    # io/replay.py release queue produces and add_bulk sorts to)
+    items = []
+    for m in msgs:
+        kind = m.get("kind", "scan")
+        code = {"scan": 0, "radar": 1, "odom": 2}[kind]
+        ts = seq.Sequencer._scan_t_end(m) if code == 0 else float(m["ts"])
+        items.append((ts, code, m))
+    items.sort(key=lambda e: (e[0], e[1]))
+    for _, code, m in items:
+        if code == 1:
+            s.add_radar(m["ts"], m["points_r"], m["doppler"],
+                        m.get("snr_db"))
+        elif code == 2:
+            s.add_odometry(m["ts"], m["q"], m["p"], m.get("cov6"))
+        else:
+            s.add_scan(m["ts_header"], m["points"], m["t_rel"],
+                       m.get("valid"))
+    return s
+
+
+COUNTER_KEYS = ("scans", "scans_same_key", "scans_no_imu",
+                "scans_dropped_ooo", "radar_frames", "radar_dropped",
+                "radar_ooo_samekey", "radar_ooo_inserted",
+                "radar_ooo_dropped", "odom_msgs", "odom_dropped",
+                "odom_anchor")
+
+
+@pytest.mark.heavy
+def test_bulk_fuzz_matches_streaming(base):
+    agg = {k: 0 for k in COUNTER_KEYS}
+    lag_seeds = mm_chunk_seeds = 0
+    for sd in range(N_SEEDS):
+        msgs, cfg_kw, chunk = _fuzz_stream(base, sd)
+        s0 = _replay(base, msgs, cfg_kw, chunk, bulk=False)
+        s1 = _replay(base, msgs, cfg_kw, chunk, bulk=True)
+        ctx = f"seed={sd} cfg={cfg_kw} chunk={chunk}"
+        for k in COUNTER_KEYS:
+            assert s0.counters.get(k, 0) == s1.counters.get(k, 0), \
+                f"{ctx} counter {k}: streaming " \
+                f"{s0.counters.get(k, 0)} != bulk {s1.counters.get(k, 0)}"
+            agg[k] += s0.counters.get(k, 0)
+        assert s0.state_ts == pytest.approx(s1.state_ts, abs=0.0), ctx
+        assert s0._traj_ts == pytest.approx(s1._traj_ts, abs=0.0), ctx
+        assert s0._traj_src == s1._traj_src, ctx
+        t0, t1 = s0.trajectory, s1.trajectory
+        assert len(t0) == len(t1), ctx
+        for (ts0, p0, q0), (ts1, p1, q1) in zip(t0, t1):
+            assert ts0 == ts1, ctx
+            # STRUCTURAL equivalence bound, looser than test_bulk's
+            # fixed-scenario 5 mm: the fuzz runs deliberately marginal
+            # 8x128 scans (cheap corpus), where XLA's f32 reduction
+            # reorder across the lax.scan body amplifies to ~mm-cm
+            # (measured 6.8 mm at seed 1); a WRONG event schedule
+            # (the bug class this fuzz hunts — also pinned exactly by
+            # the counter/state_ts/traj_src asserts above) shows up as
+            # decimeters-to-meters
+            np.testing.assert_allclose(p0, p1, atol=5e-2,
+                                       err_msg=ctx)
+        if cfg_kw.get("lag_secs"):
+            lag_seeds += 1
+        if any(isinstance(k, tuple) and "bulkmm" in str(k)
+               for k in s1._step_cache):
+            mm_chunk_seeds += 1
+    # every fallback/branch family ran at least once across the corpus —
+    # otherwise the fuzz silently stopped covering the simulation it
+    # exists to pin down
+    assert agg["scans_same_key"] > 0
+    assert agg["radar_ooo_samekey"] + agg["radar_ooo_inserted"] \
+        + agg["radar_ooo_dropped"] > 0
+    assert agg["odom_dropped"] > 0            # D-opt rejects
+    assert agg["odom_anchor"] > N_SEEDS // 4  # anchor re-establishment
+    assert lag_seeds > 0
+    assert mm_chunk_seeds > 0                 # mixed chunks actually ran
