@@ -55,9 +55,11 @@ def smooth(sequencer, imu_ts, imu_acc, imu_gyro, mesh=None, iters=3,
                          f"the cap or smooth in chunks")
     dtype = s.window.p.dtype
     n = K0
-    # jitted-fetch reads (raw np.asarray on the sequencer's donated
-    # device arrays is eager-copy relay-session poison — sequencer
-    # _host_fetch docstring, scripts/probe_poison2.py)
+    # jitted-fetch reads: well-defined copies of donated-chain arrays,
+    # but on a tunneled relay these readbacks still downgrade the
+    # session (sequencer._host_fetch docstring) — smooth() is an
+    # END-OF-REPLAY operation; calling it mid-run pins every later
+    # replay in the process at ~41 scans/s
     from mimosa_tpu.graph.sequencer import _host_fetch
     q_est = _host_fetch(s.traj_q).astype(np.float64)[:n]
     p_est = _host_fetch(s.traj_p).astype(np.float64)[:n]

@@ -113,8 +113,8 @@ def run(platform=None, dtype="float32", t_total=12.0, verbose=True,
         # pass 3: global batch smoothing of the whole trajectory
         from mimosa_tpu.graph import refine
         imu = data["imu"]
-        sm_ts, _, sm_p = refine.smooth(s, imu["ts"], imu["acc"],
-                                       imu["gyro"])
+        s.smoothed = refine.smooth(s, imu["ts"], imu["acc"], imu["gyro"])
+        sm_ts, _, sm_p = s.smoothed
         ate_smooth = syn.ate_rmse(sm_ts, sm_p, data["gt"]["ts"],
                                   data["gt"]["pos"])
     if verbose:

@@ -18,11 +18,14 @@ TPU-native equivalent without ROS:
   triads; feature patches on the intensity image) as PNGs.
 
 All of this is OFF the hot path and opt-in: the streaming reads go through
-one jitted gather program + a small device-to-host transfer (both
-relay-safe — eager per-element device indexing would permanently downgrade
-the tunneled-TPU session to per-program round-trips, see CLAUDE.md), and
-the overlay renderers recompute matches in a separate program so the
-per-scan step stays sync-free.
+one jitted gather program + a small device-to-host transfer. NOTE on
+tunneled-relay deployments (CLAUDE.md): the transfer is a device->host
+READBACK, and any readback — however issued — downgrades such a session
+from streamed dispatch to per-program round-trips for the rest of the
+process. On local PCIe devices (the production deployment for live
+dashboards) readbacks are cheap and this machinery is truly off the hot
+path; on the tunneled dev relay, enable the debug stream only for runs
+whose throughput you are not measuring.
 """
 
 import json

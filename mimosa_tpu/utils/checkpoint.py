@@ -34,10 +34,11 @@ def save(seq, path):
             continue
         leaves, treedef = jax.tree_util.tree_flatten(tree)
         meta["tree"][name] = len(leaves)
-        # jitted-fetch: raw np.asarray on the sequencer's donated device
-        # arrays is eager-copy relay-session poison (graph/sequencer
-        # _host_fetch docstring) — a mid-run checkpoint must not cost the
-        # rest of the replay 17x
+        # jitted-fetch: makes the copy of a donated-chain array
+        # well-defined, but on a tunneled relay the readback ITSELF still
+        # downgrades the session — a checkpoint mid-run costs the rest of
+        # the process 17x regardless (sequencer._host_fetch docstring);
+        # checkpoint at end-of-process or between relay sessions only
         from mimosa_tpu.graph.sequencer import _host_fetch
         for i, leaf in enumerate(leaves):
             arrays[f"{name}__{i}"] = np.asarray(_host_fetch(leaf))

@@ -105,6 +105,152 @@ def compare_methods(bag_paths, methods, gt_path, out_dir):
     return rows
 
 
+def _rte_vs_gt(s, data, smoothed=None):
+    """RTE (%) of a sequencer trajectory (or smoothed tuple) against
+    synthetic ground truth."""
+    import numpy as np
+
+    from mimosa_tpu.utils import evaluation as ev
+    if smoothed is not None:
+        ts, _, p = smoothed
+    else:
+        ts = np.asarray([t for t, _, _ in s.trajectory])
+        p = np.asarray([p for _, p, _ in s.trajectory])
+    return ev.rte(np.asarray(ts), np.asarray(p), data["gt"]["ts"],
+                  data["gt"]["pos"])
+
+
+# The standing synthetic accuracy suite — the per-round accuracy
+# scoreboard (ACCURACY_r*.json, the counterpart of BENCH_r*.json; VERDICT
+# r3 item 4). Real ENWIDE/Newer College bags are unavailable in this
+# environment, so these exact-ground-truth sequences are the proxy: one
+# row per scenario family the reference's table exercises (clean, noisy,
+# degenerate corridor x pipeline, multimodal, refinement compositions).
+# Gates mirror the e2e test gates (CLAUDE.md: <1 cm clean / <8 cm noisy;
+# corridor hierarchy from tests/test_corridor_pglio.py).
+def run_synthetic_suite(out_json=None, out_md=None, round_tag=None):
+    import numpy as np
+
+    from mimosa_tpu.io import synthetic as syn
+    from mimosa_tpu.io import synthetic_replay as sr
+
+    noisy = dict(imu_noise=0.01, range_noise=0.01, verbose=False)
+
+    def corridor_kw():
+        return dict(world=syn.corridor_world(),
+                    tc=syn.TrajectoryConfig(t_total=8.0, amp=(4.0, 0.6, 0.3),
+                                            center=(40.0, 2.0, 1.5),
+                                            yaw_rate=0.15),
+                    seed=0, imu_noise=0.01, range_noise=0.005,
+                    verbose=False)
+
+    def corridor_radar():
+        """Corridor + 20 Hz radar Doppler through the multimodal BULK
+        scheduler (the DR-LRIO scenario, radar pinning the unobservable
+        axis) — also keeps the headline bulk path inside the accuracy
+        scoreboard."""
+        import jax.numpy as jnp
+
+        from mimosa_tpu.graph import sequencer as seq
+        from mimosa_tpu.graph import window as win
+        from mimosa_tpu.lidar import geometric as geo
+        from mimosa_tpu.mapping import voxel_hash as vh
+        kw = corridor_kw()
+        lm = syn.LidarModel()
+        data = syn.generate(kw["world"], kw["tc"], lm, seed=0,
+                            imu_noise=0.01, range_noise=0.005)
+        radar = syn.generate_radar(syn.make_trajectory(kw["tc"]), kw["tc"],
+                                   seed=0)
+        s = seq.Sequencer(
+            seq_cfg=seq.SequencerConfig(
+                max_scan_points=max(4096, lm.n_rows * lm.n_cols),
+                n_geo_points=4096, n_map_points=8192, geo_leaf=0.4,
+                map_insert_leaf=0.15, keyframe_trans_thresh=0.3,
+                keyframe_rot_thresh=0.15, n_gn_iters=3),
+            win_cfg=win.WindowConfig(K=6),
+            map_cfg=vh.VoxelMapConfig(leaf_size=0.4, capacity_log2=17,
+                                      plane_min_points=5, lru_horizon=0),
+            geo_cfg=geo.GeometricConfig(sigma=0.05, loc_count_thresh=50.0,
+                                        project_degenerate=True),
+            dtype=jnp.float32)
+        imu = data["imu"]
+        s.add_imu_batch(imu["ts"], imu["acc"], imu["gyro"])
+        msgs = list(data["scans"]) + [
+            dict(kind="radar", ts=fr["ts"], points_r=fr["points"],
+                 doppler=fr["doppler"], snr_db=fr["snr_db"])
+            for fr in radar]
+        s.add_bulk(msgs, chunk=16)
+        est_t = np.asarray([t for t, _, _ in s.trajectory])
+        est_p = np.asarray([p for _, p, _ in s.trajectory])
+        ate = syn.ate_rmse(est_t, est_p, data["gt"]["ts"],
+                           data["gt"]["pos"])
+        return dict(ate=ate, sequencer=s, data=data, ate_smooth=None)
+
+    # (name, thunk, ate_gate_m) — thunks return synthetic_replay-style
+    # dicts; score ate_smooth when present
+    SEQS = [
+        ("room_clean", lambda: sr.run(verbose=False), 0.010),
+        ("room_noisy", lambda: sr.run(**noisy), 0.080),
+        ("room_noisy_two_pass", lambda: sr.run(two_pass=True, **noisy),
+         0.080),
+        ("room_noisy_smooth",
+         lambda: sr.run(two_pass=True, smooth=True, **noisy), 0.080),
+        ("room_photometric",
+         lambda: sr.run(use_photometric=True, **noisy), 0.080),
+        ("room_range_codec",
+         lambda: sr.run(range_transfer=True, **noisy), 0.080),
+        ("corridor_geo_proj",
+         lambda: sr.run(project_degenerate=True, **corridor_kw()), 10.0),
+        ("corridor_pglio",
+         lambda: sr.run(use_photometric=True, project_on_degeneracy=True,
+                        project_degenerate=True, **corridor_kw()), 0.80),
+        ("corridor_radar_bulk", corridor_radar, 0.20),
+    ]
+    rows = []
+    for name, thunk, gate in SEQS:
+        out = thunk()
+        ate = out["ate_smooth"] if out.get("ate_smooth") is not None \
+            else out["ate"]
+        sm = getattr(out["sequencer"], "smoothed", None)
+        if out.get("ate_smooth") is not None and sm is None:
+            # synthetic_replay computes ate_smooth without attaching —
+            # recompute RTE from the raw trajectory in that case
+            sm = None
+        rte = _rte_vs_gt(out["sequencer"], out["data"], smoothed=sm)
+        ok = bool(ate < gate)
+        rows.append(dict(sequence=name, ate_m=round(float(ate), 4),
+                         rte_pct=round(float(rte), 3),
+                         gate_m=gate, passed=ok))
+        print(f"{name:24s} ATE {ate:8.4f} m  RTE {rte:6.3f} %  "
+              f"gate {gate:g}  {'PASS' if ok else 'FAIL'}")
+    all_pass = all(r["passed"] for r in rows)
+    blob = dict(suite="synthetic_accuracy_v1", rows=rows,
+                all_pass=all_pass,
+                **({"round": round_tag} if round_tag else {}))
+    if out_json:
+        with open(out_json, "w") as f:
+            json.dump(blob, f, indent=1)
+        print(f"wrote {out_json}")
+    if out_md:
+        with open(out_md, "w") as f:
+            f.write("# Synthetic accuracy scoreboard"
+                    + (f" — round {round_tag}" if round_tag else "")
+                    + "\n\n"
+                    "Standing multi-sequence suite "
+                    "(scripts/dataset_evaluation.py --synthetic): the "
+                    "per-round accuracy counterpart of BENCH_r*.json. "
+                    "Exact-ground-truth synthetic sequences; gates "
+                    "mirror the e2e test gates.\n\n"
+                    "| sequence | ATE [m] | RTE [%] | gate [m] | pass |\n"
+                    "|---|---|---|---|---|\n")
+            for r in rows:
+                f.write(f"| {r['sequence']} | {r['ate_m']} | "
+                        f"{r['rte_pct']} | {r['gate_m']} | "
+                        f"{'yes' if r['passed'] else '**NO**'} |\n")
+        print(f"wrote {out_md}")
+    return blob
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--dataset-dir")
@@ -129,7 +275,20 @@ def main():
     ap.add_argument("--methods", nargs="*",
                     help="name=/odom/topic pairs for --compare-bags")
     ap.add_argument("--gt", help="ground-truth TUM file for --compare-bags")
+    ap.add_argument("--synthetic", action="store_true",
+                    help="run the standing synthetic accuracy suite "
+                         "(the per-round ACCURACY_r*.json scoreboard) "
+                         "instead of a bag dataset")
+    ap.add_argument("--out-json", help="ACCURACY json path (--synthetic)")
+    ap.add_argument("--out-md", help="ACCURACY markdown path (--synthetic)")
+    ap.add_argument("--round", help="round tag stamped into the artifact")
     args = ap.parse_args()
+
+    if args.synthetic:
+        blob = run_synthetic_suite(out_json=args.out_json,
+                                   out_md=args.out_md,
+                                   round_tag=args.round)
+        sys.exit(0 if blob["all_pass"] else 1)
 
     if args.compare_bags:
         if not (args.methods and args.gt):
