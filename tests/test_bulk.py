@@ -96,6 +96,7 @@ def test_bulk_matches_streaming_merged_marg(data):
         np.testing.assert_allclose(p0, p1, atol=2e-3)
 
 
+@pytest.mark.heavy
 def test_bulk_photometric_matches_streaming(data):
     """The flagship PG-LIO pipeline (geometric + photometric) through the
     bulk lax.scan scheduler: feature store/track state rides the chunk
@@ -122,6 +123,7 @@ def test_bulk_photometric_matches_streaming(data):
     np.testing.assert_allclose(d0[:, 12], d1[:, 12], atol=4)
 
 
+@pytest.mark.heavy
 def test_bulk_photometric_exact_ouster_matches_streaming():
     """Bulk + the exact Ouster sampling model (destagger pixel-id fill,
     per-row yaw table, projectUndistorted re-skew): the production

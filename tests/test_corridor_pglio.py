@@ -17,6 +17,9 @@ import pytest
 from mimosa_tpu.io import synthetic as syn
 from mimosa_tpu.io import synthetic_replay as sr
 
+# heavy tier: full CPU e2e replays, minutes each — the default CI gate runs -m 'not heavy'
+pytestmark = pytest.mark.heavy
+
 
 @pytest.fixture(scope="module")
 def corridor():

@@ -12,6 +12,9 @@ import sys
 import numpy as np
 import pytest
 
+# heavy tier: full CPU e2e replays, minutes each — the default CI gate runs -m 'not heavy'
+pytestmark = pytest.mark.heavy
+
 
 def _free_port():
     s = socket.socket()

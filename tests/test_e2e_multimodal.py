@@ -3,9 +3,13 @@
 the reference, SURVEY.md §2.6 flags matrix)."""
 
 import numpy as np
+import pytest
 
 from mimosa_tpu.io import synthetic as syn
 from mimosa_tpu.io import synthetic_replay as sr
+
+# heavy tier: full CPU e2e replays, minutes each — the default CI gate runs -m 'not heavy'
+pytestmark = pytest.mark.heavy
 
 
 def merged_replay(t_total=6.0, use_radar=False, use_odom=False, seed=0):

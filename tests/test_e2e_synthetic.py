@@ -6,6 +6,7 @@ ground truth, in production dtype (float32) with everything jitted.
 """
 
 import numpy as np
+import pytest
 
 from mimosa_tpu.io import synthetic_replay as sr
 
@@ -17,6 +18,7 @@ def test_e2e_clean():
     assert out["ate"] < 0.05, out["ate"]
 
 
+@pytest.mark.heavy
 def test_e2e_noisy_imu_and_range():
     out = sr.run(t_total=6.0, verbose=False, seed=3, imu_noise=0.02,
                  range_noise=0.01)
@@ -31,6 +33,7 @@ def test_e2e_deterministic():
     np.testing.assert_array_equal(ta, tb)
 
 
+@pytest.mark.heavy
 def test_e2e_4dof_registration():
     """reg_4_dof (ref geometric_factor.hpp:255-259, the lri_4dof ablation):
     ICP constrains only yaw+translation, roll/pitch ride gravity/IMU — the
@@ -40,6 +43,7 @@ def test_e2e_4dof_registration():
     assert out["ate"] < 0.08, out["ate"]
 
 
+@pytest.mark.heavy
 def test_e2e_two_pass_refinement():
     """Mapping->localization two-pass (beyond the reference): pass 2
     registers every scan against the frozen FINAL map, so the early
@@ -57,6 +61,7 @@ def test_e2e_two_pass_refinement():
         (out1["ate"], out2["ate"])
 
 
+@pytest.mark.heavy
 def test_e2e_batch_smoothing():
     """Pass-3 global batch smoothing (graph/refine.py over the wp-sharded
     distributed GN): re-solving the whole trajectory with each scan's

@@ -53,6 +53,7 @@ def _derived_metadata(tmp_path):
 
 
 @pytest.mark.timeout(1800)
+@pytest.mark.heavy
 def test_enwide_config_ouster_bag_replay(tmp_path):
     meta_path, alts_deg, shifts = _derived_metadata(tmp_path)
     alts = np.radians(alts_deg)
