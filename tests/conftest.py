@@ -21,25 +21,11 @@ jax.config.update("jax_platforms", "cpu")
 # f64 available for oracle tests; library code derives dtype from inputs so
 # production f32 paths are exercised by passing f32 arrays explicitly.
 jax.config.update("jax_enable_x64", True)
-# persistent compile cache: the suite's big programs (bulk lax.scan
-# chunks, the multimodal switch body, sharded shard_map steps) cost
-# minutes of XLA CPU compile per run — cached, repeat suite runs skip
-# all of it. The dir is keyed by the HOST CPU fingerprint (and kept
-# separate from bench/replay's /root/.jax_cache) so that if this
-# container ever lands on a different machine, stale CPU AOT blobs are
-# not executed — XLA only warns ("could lead to SIGILL") when loading
-# mismatched AOT results. NOTE: cpu_aot_loader "+prefer-no-scatter /
-# +prefer-no-gather not supported on the host" warnings on cache HITS
-# are a false alarm (XLA pseudo-features that never appear in host flag
-# lists), not an actual machine mismatch.
-import hashlib  # noqa: E402
-
-try:
-    with open("/proc/cpuinfo") as _f:
-        _flags = next((ln for ln in _f if ln.startswith("flags")), "")
-except OSError:
-    _flags = ""
-_fp = hashlib.sha1(_flags.encode()).hexdigest()[:12]
-jax.config.update("jax_compilation_cache_dir",
-                  f"/root/.jax_cache_tests_{_fp}")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# NO persistent compile cache on CPU: deserializing cached XLA:CPU
+# executables SEGFAULTED inside
+# jax compilation_cache.get_executable_and_time on the suite's large
+# programs (the multimodal bulk switch body — measured r4, fuzz run),
+# after first flooding cpu_aot_loader machine-feature warnings and LLVM
+# "Cannot allocate memory" errors. The TPU cache (/root/.jax_cache used
+# by bench/replay) is unaffected — TPU executables serialize through
+# the relay safely. CPU suite runs pay the compile each process.
