@@ -160,40 +160,59 @@ COUNTER_KEYS = ("scans", "scans_same_key", "scans_no_imu",
 
 
 @pytest.mark.heavy
-def test_bulk_fuzz_matches_streaming(base):
+def test_bulk_fuzz_matches_streaming():
+    """Seeds run in SUBPROCESS batches (tests/fuzz_worker.py): one
+    process accumulating every program variant of the corpus exhausts
+    LLVM's JIT code-memory reservation (observed: allocation-failure
+    floods, then segfaults in libgcc unwinding) — batching bounds the
+    live program count per process."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    # the crash point was observed at the ~4th distinct multimodal
+    # program compile in one process (repro: seeds 0-2 fine, seed 3's
+    # new chunk/salt variant died) — 2 seeds/process keeps >=2x margin
+    batch = 2
     agg = {k: 0 for k in COUNTER_KEYS}
     lag_seeds = mm_chunk_seeds = 0
-    for sd in range(N_SEEDS):
-        msgs, cfg_kw, chunk = _fuzz_stream(base, sd)
-        s0 = _replay(base, msgs, cfg_kw, chunk, bulk=False)
-        s1 = _replay(base, msgs, cfg_kw, chunk, bulk=True)
-        ctx = f"seed={sd} cfg={cfg_kw} chunk={chunk}"
+    results = []
+    for lo in range(0, N_SEEDS, batch):
+        hi = min(lo + batch, N_SEEDS)
+        r = subprocess.run(
+            [sys.executable, os.path.join(here, "fuzz_worker.py"),
+             str(lo), str(hi)],
+            capture_output=True, text=True, timeout=3600)
+        assert r.returncode == 0, \
+            f"fuzz worker [{lo},{hi}) rc={r.returncode}\n" \
+            f"{r.stdout[-2000:]}\n{r.stderr[-2000:]}"
+        line = next(ln for ln in r.stdout.splitlines()
+                    if ln.startswith("FUZZRESULT "))
+        results.extend(json.loads(line[len("FUZZRESULT "):]))
+    assert len(results) == N_SEEDS
+    for res in results:
+        ctx = f"seed={res['seed']} cfg={res['cfg']} chunk={res['chunk']}"
+        assert res["counters0"] == res["counters1"], \
+            f"{ctx}: {res['counters0']} != {res['counters1']}"
+        assert res["state_ts_equal"], ctx
+        assert res["traj_ts_equal"], ctx
+        assert res["traj_src_equal"], ctx
+        assert res["n_traj"][0] == res["n_traj"][1], ctx
+        # STRUCTURAL bound, looser than test_bulk's fixed-scenario 5 mm:
+        # the fuzz runs deliberately marginal 8x128 scans (cheap corpus),
+        # where XLA's f32 reduction reorder across the lax.scan body
+        # amplifies to ~mm-cm (measured 6.8 mm at seed 1); a WRONG event
+        # schedule (the bug class this fuzz hunts — also pinned exactly
+        # by the counter/state_ts/traj_src asserts) shows up as
+        # decimeters-to-meters
+        assert res["max_traj_dp"] < 5e-2, f"{ctx}: {res['max_traj_dp']}"
         for k in COUNTER_KEYS:
-            assert s0.counters.get(k, 0) == s1.counters.get(k, 0), \
-                f"{ctx} counter {k}: streaming " \
-                f"{s0.counters.get(k, 0)} != bulk {s1.counters.get(k, 0)}"
-            agg[k] += s0.counters.get(k, 0)
-        assert s0.state_ts == pytest.approx(s1.state_ts, abs=0.0), ctx
-        assert s0._traj_ts == pytest.approx(s1._traj_ts, abs=0.0), ctx
-        assert s0._traj_src == s1._traj_src, ctx
-        t0, t1 = s0.trajectory, s1.trajectory
-        assert len(t0) == len(t1), ctx
-        for (ts0, p0, q0), (ts1, p1, q1) in zip(t0, t1):
-            assert ts0 == ts1, ctx
-            # STRUCTURAL equivalence bound, looser than test_bulk's
-            # fixed-scenario 5 mm: the fuzz runs deliberately marginal
-            # 8x128 scans (cheap corpus), where XLA's f32 reduction
-            # reorder across the lax.scan body amplifies to ~mm-cm
-            # (measured 6.8 mm at seed 1); a WRONG event schedule
-            # (the bug class this fuzz hunts — also pinned exactly by
-            # the counter/state_ts/traj_src asserts above) shows up as
-            # decimeters-to-meters
-            np.testing.assert_allclose(p0, p1, atol=5e-2,
-                                       err_msg=ctx)
-        if cfg_kw.get("lag_secs"):
+            agg[k] += res["counters0"][k]
+        if res["cfg"].get("lag_secs"):
             lag_seeds += 1
-        if any(isinstance(k, tuple) and "bulkmm" in str(k)
-               for k in s1._step_cache):
+        if res["mm_chunk_ran"]:
             mm_chunk_seeds += 1
     # every fallback/branch family ran at least once across the corpus —
     # otherwise the fuzz silently stopped covering the simulation it
