@@ -172,10 +172,12 @@ def test_bulk_fuzz_matches_streaming():
     import sys
 
     here = os.path.dirname(os.path.abspath(__file__))
-    # the crash point was observed at the ~4th distinct multimodal
-    # program compile in one process (repro: seeds 0-2 fine, seed 3's
-    # new chunk/salt variant died) — 2 seeds/process keeps >=2x margin
-    batch = 2
+    # ONE seed per process: the multimodal switch program alone carries
+    # ~5 full scan-step bodies of machine code, and XLA:CPU's contiguous
+    # JIT code region could not even hold two seeds' program variants
+    # (batch=2 still hit 'LLVM ERROR: Unable to allocate section
+    # memory' on a fresh process)
+    batch = 1
     agg = {k: 0 for k in COUNTER_KEYS}
     lag_seeds = mm_chunk_seeds = 0
     results = []
