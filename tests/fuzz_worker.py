@@ -49,6 +49,16 @@ if __name__ == "__main__":
         max_dp = max((float(np.linalg.norm(np.asarray(p0) - np.asarray(p1)))
                       for (_, p0, _), (_, p1, _) in zip(t0, t1)),
                      default=0.0)
+
+        def _ate(s_):
+            rows = [(t, p) for (t, p, _), src in zip(s_.trajectory,
+                                                     s_._traj_src)
+                    if src >= 0]
+            if len(rows) < 3:
+                return float("nan")
+            ts = np.asarray([t for t, _ in rows])
+            p = np.asarray([pp for _, pp in rows])
+            return syn.ate_rmse(ts, p, data["gt"]["ts"], data["gt"]["pos"])
         out.append(dict(
             seed=sd, cfg=cfg_kw, chunk=chunk,
             counters0={k: s0.counters.get(k, 0) for k in tf.COUNTER_KEYS},
@@ -58,6 +68,7 @@ if __name__ == "__main__":
             traj_src_equal=bool(s0._traj_src == s1._traj_src),
             n_traj=(len(t0), len(t1)),
             max_traj_dp=max_dp,
+            ate=(_ate(s0), _ate(s1)),
             mm_chunk_ran=bool(any(isinstance(k, tuple) and "bulkmm" in str(k)
                                   for k in s1._step_cache)),
         ))
