@@ -223,6 +223,7 @@ def _replay_mm(data, radar, bulk, chunk=8, odom=(), **cfg_kw):
     return s
 
 
+@pytest.mark.heavy
 def test_bulk_multimodal_matches_streaming(data, radar_frames):
     """Mixed scan+radar lax.scan chunks (lidar+radar+IMU, the hornbill
     stack) must reproduce the streaming declare/same-key sequence."""

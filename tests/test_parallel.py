@@ -38,6 +38,7 @@ def setup():
     return world, pts_b, q_true, t_true
 
 
+@pytest.mark.heavy
 def test_sharded_matches_single_device(setup):
     world, pts_b, q, t = setup
     valid = jnp.ones(pts_b.shape[0], bool)
@@ -68,6 +69,7 @@ def test_sharded_matches_single_device(setup):
     assert not bool(jnp.any(r2.degenerate_trans))
 
 
+@pytest.mark.heavy
 def test_sharded_gn_converges(setup):
     world, pts_b, q_true, t_true = setup
     valid = jnp.ones(pts_b.shape[0], bool)
@@ -141,6 +143,7 @@ def test_owner_bits_above_slot_index():
     assert 0.4 < frac_low < 0.6, frac_low
 
 
+@pytest.mark.heavy
 def test_mp_sharded_capacity_production_shape():
     """Fill an mp=2 map at the production capacity_log2=19 with ~cap
     distinct voxels (= half of the claimed n_mp*cap total): occupancy must
@@ -336,6 +339,7 @@ def test_sharded_step_full_modality_matches_single():
     assert abs(d1[0] - d2[0]) <= 0.02 * d1[0] + 5
 
 
+@pytest.mark.heavy
 def test_sharded_step_full_modality_mp2_runs():
     """Same full-modality step on a 4x2 (dp x mp) mesh with the map voxels
     actually sharded: executes and yields a finite, tracked result."""
@@ -428,6 +432,7 @@ def _replay_exception_paths(mesh):
     return s, data
 
 
+@pytest.mark.heavy
 def test_sharded_exception_paths_match_single():
     """Scan-OOO, same-key attach, init and the rescue-bearing scan program
     on the ('dp','mp') mesh (VERDICT r3 item 5: these variants had never

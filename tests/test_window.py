@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from mimosa_tpu.core import lie
 from mimosa_tpu.graph import window as win
@@ -110,6 +111,7 @@ def run_fusion(states, segs, dt, meas_noise=0.0, seed=1,
     return w, results
 
 
+@pytest.mark.heavy
 def test_window_tracks_trajectory():
     states, segs, dt = simulate()
     w, results = run_fusion(states, segs, dt, meas_noise=0.01)
@@ -122,6 +124,7 @@ def test_window_tracks_trajectory():
     assert np.mean(errs_v[5:]) < 0.05, np.mean(errs_v)
 
 
+@pytest.mark.heavy
 def test_window_estimates_gravity():
     states, segs, dt = simulate(T=3.0)
     w, _ = run_fusion(states, segs, dt, meas_noise=0.005, wrong_gravity=True)
@@ -130,6 +133,7 @@ def test_window_estimates_gravity():
     assert err < 0.01, f"gravity direction error {err} rad"
 
 
+@pytest.mark.heavy
 def test_marginalization_keeps_information():
     """After sliding far beyond K, estimates must not drift from GT
     (the prior carries the marginalized information)."""
@@ -181,6 +185,7 @@ def test_solve_ill_conditioned_f32():
     assert np.linalg.norm(dx32 - dx64) / denom < 1e-2
 
 
+@pytest.mark.heavy
 def test_marginalize_loose_bias_prior_f32():
     """Regression: with the reference's own ENWIDE sigmas (tight rotation
     prior 0.01 deg -> info ~3e7, LOOSE accel bias prior sigma 1.0 -> info 1)

@@ -9,6 +9,7 @@ is in the Schur algebra."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from mimosa_tpu.core import lie
 from mimosa_tpu.graph import window as win
@@ -79,6 +80,7 @@ def rand_meas(dtype, seed=3, scale=50.0):
     return meas_H, meas_b
 
 
+@pytest.mark.heavy
 def test_distributed_step_matches_dense_f64():
     cfg = win.WindowConfig(K=K, damping=1e-6)
     (q, p, v, bg, ba, g_dir), preints, _ = build_batch(jnp.float64)
@@ -99,6 +101,7 @@ def test_distributed_step_matches_dense_f64():
                                atol=1e-8, rtol=1e-6)
 
 
+@pytest.mark.heavy
 def test_distributed_step_f32_close():
     """Production dtype: the sharded f32 step must stay within f32
     round-off of the f64 truth (both equilibrated)."""
