@@ -271,7 +271,9 @@ def main():
                     host_meds.append(t_host_i)
             rates[name].append(rate_i)
             seqs[name] = s_i
-        if r == R // 2 - 1 or R == 1:
+        if r == R // 2 or R == 1:
+            # fires after round 1 of R=3 — a true mid-run probe (r4
+            # advisor: R//2-1 fired after round 0, i.e. one-third in)
             floors.append(relay_floor_ms())
     floors.append(relay_floor_ms())
 

@@ -154,13 +154,15 @@ def ouster_ray_dirs(meta: dict):
     fastest) that the Ouster data stream and the exact_ouster photometric
     fill consume (ref photometric.cpp:72-90 PBID addressing).
 
-    Azimuth of row v, block c: the encoder angle pi*(1 - 2*c/cols) plus
-    the per-beam azimuth offset — the EXACT ``beam_azimuth_angles`` when
-    the metadata carries them (shift[v] = round(az[v]*cols/360) in every
-    shipped os_*.json, so the integer destagger shift is their
-    column-rounded form — rounding alone is off by up to half a column,
-    decimeters at range), else the shift-derived approximation (the
-    synthetic generate_ouster model). Elevation: beam_altitude_angles[v].
+    Azimuth of row v, block c: the encoder angle 2*pi*(1 - c/cols) — the
+    Ouster driver's own convention (Sensor Docs "lidar frame": theta_enc
+    = 2*pi*(1 - measurement_id/cols)) — plus the per-beam azimuth offset:
+    the EXACT ``beam_azimuth_angles`` when the metadata carries them
+    (shift[v] = round(az[v]*cols/360) in every shipped os_*.json, so the
+    integer destagger shift is their column-rounded form — rounding alone
+    is off by up to half a column, decimeters at range), else the
+    shift-derived approximation (the synthetic generate_ouster model).
+    Elevation: beam_altitude_angles[v].
 
     With a nonzero ``lidar_origin_to_beam_origin`` the Ouster model is
     AFFINE: p = s*dir + n*enc with enc the horizontal encoder direction
@@ -169,25 +171,27 @@ def ouster_ray_dirs(meta: dict):
     the codec packs s = dot(p - offset, dir) (see native.pack_range);
     with n == 0 returns plain [N,3] unit dirs (p = r*dir).
 
-    NOTE on conventions: the encoder-angle origin here matches
-    io.synthetic.generate_ouster (pi*(1-2c/N)), which is a fixed z-axis
-    rotation of the Ouster docs' 2*pi*(1-c/N); a fixed sensor-frame yaw
-    cancels in the estimator. If a real driver's cloud disagrees, the
-    codec fidelity check in io/replay.py (--range-transfer) measures the
-    reconstruction residual on the first scan and refuses rather than
-    silently corrupting points."""
+    NOTE on conventions: io.synthetic.generate_ouster emits the same
+    encoder origin, so table and synthetic cloud agree exactly. If a real
+    driver's cloud still disagrees (a custom driver frame), the codec
+    fidelity check in io/replay.py (--range-transfer) measures the
+    reconstruction residual on the first scan, auto-compensates a fixed
+    sensor-frame yaw when one explains the residual (a fixed yaw cancels
+    in the estimator), and refuses otherwise rather than silently
+    corrupting points."""
     import numpy as np
     alt = np.asarray(meta["beam_altitudes"])
     rows, n_cols = int(meta["rows"]), int(meta["cols"])
     v, c = np.meshgrid(np.arange(rows), np.arange(n_cols), indexing="ij")
-    az_enc = np.pi * (1.0 - 2.0 * c / n_cols)
-    if meta.get("beam_azimuths"):
-        az = az_enc - np.asarray(meta["beam_azimuths"])[:, None] \
+    az_enc = 2.0 * np.pi * (1.0 - c / n_cols)
+    beam_az = meta.get("beam_azimuths")
+    if beam_az is not None and len(beam_az):
+        az = az_enc - np.asarray(beam_az, float)[:, None] \
             * np.ones_like(az_enc)
     else:
         shifts = np.asarray(meta["pixel_shift_by_row"] or [0] * rows, int)
         u_dest = (c + shifts[:, None]) % n_cols
-        az = np.pi * (1.0 - 2.0 * u_dest / n_cols)
+        az = 2.0 * np.pi * (1.0 - u_dest / n_cols)
     ca, sa = np.cos(az), np.sin(az)
     cal = np.cos(alt)[:, None] * np.ones_like(ca)
     sal = np.sin(alt)[:, None] * np.ones_like(ca)

@@ -248,15 +248,64 @@ def replay_bag(bag_path, config_path, imu_topic, lidar_topic,
         if len(p0) != len(ray_dirs):
             raise ValueError(
                 f"range_transfer: scan has {len(p0)} points but the "
-                f"beam table covers {len(ray_dirs)} lanes — cloud is "
-                f"not full-frame pixel-id ordered")
+                f"beam table covers {len(ray_dirs)} lanes. The range "
+                f"codec needs ORGANIZED full-frame clouds in sensor "
+                f"pixel-id order (rows*cols points, non-returns kept as "
+                f"zero/NaN lanes — the Ouster driver's "
+                f"'organized'/'destaggered=false' output); a driver "
+                f"configured to drop non-returns emits variable-length "
+                f"clouds the per-lane table cannot address. Rerun "
+                f"without --range-transfer or reconfigure the driver")
         dirs0 = ray_dirs[:, :3]
         off0 = ray_dirs[:, 3:6] if ray_dirs.shape[1] == 6 else 0.0
         okp = np.isfinite(p0).all(-1) & \
             (np.einsum("ij,ij->i", p0, p0) > 0.25)
-        sc0 = np.einsum("ij,ij->i", p0 - off0, dirs0)
-        resid = np.linalg.norm(sc0[:, None] * dirs0 + off0 - p0, axis=-1)
-        med = float(np.median(resid[okp])) if okp.any() else np.inf
+
+        def _median_resid(rd):
+            d_, o_ = rd[:, :3], rd[:, 3:6] if rd.shape[1] == 6 else 0.0
+            sc_ = np.einsum("ij,ij->i", p0 - o_, d_)
+            rs = np.linalg.norm(sc_[:, None] * d_ + o_ - p0, axis=-1)
+            return float(np.median(rs[okp])) if okp.any() else np.inf
+
+        med = _median_resid(ray_dirs)
+        if med > 5e-3 and okp.any():
+            # a custom driver frame that differs from the metadata model
+            # by a FIXED sensor-frame yaw (e.g. a different encoder-angle
+            # origin) is harmless to the estimator — fit one yaw from the
+            # azimuth mismatch and retry before refusing
+            ap = np.arctan2(p0[okp, 1], p0[okp, 0])
+            ad = np.arctan2(dirs0[okp, 1], dirs0[okp, 0])
+            z = np.exp(1j * (ap - ad))
+            zm = z.mean()
+            if np.abs(zm) > 0.9:          # consistent single-yaw offset
+                def _rot_table(phi_):
+                    cp_, sp_ = np.cos(phi_), np.sin(phi_)
+                    Rz_ = np.array([[cp_, -sp_, 0.0], [sp_, cp_, 0.0],
+                                    [0.0, 0.0, 1.0]])
+                    rd_ = ray_dirs.copy()
+                    rd_[:, :3] = ray_dirs[:, :3] @ Rz_.T
+                    if ray_dirs.shape[1] == 6:
+                        rd_[:, 3:6] = ray_dirs[:, 3:6] @ Rz_.T
+                    return rd_
+
+                # the circular mean is biased (mrad-scale) by the beam-
+                # origin offset on near points — refine with a fine grid
+                # minimizing the actual reconstruction residual
+                phi0 = float(np.angle(zm))
+                grid = phi0 + np.radians(np.linspace(-0.5, 0.5, 201))
+                meds = [_median_resid(_rot_table(g)) for g in grid]
+                phi = float(grid[int(np.argmin(meds))])
+                rd2 = _rot_table(phi)
+                med2 = float(np.min(meds))
+                if med2 <= 5e-3:
+                    if verbose:
+                        print(f"range codec: compensated a fixed "
+                              f"{np.degrees(phi):+.2f} deg sensor-frame "
+                              f"yaw between beam table and cloud "
+                              f"(residual {med * 1e3:.1f} -> "
+                              f"{med2 * 1e3:.3f} mm)")
+                    ray_dirs = rd2
+                    med = med2
         if med > 5e-3:
             raise ValueError(
                 f"range_transfer: beam-table reconstruction residual "

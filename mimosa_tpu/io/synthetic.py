@@ -291,13 +291,16 @@ def generate_ouster(world, tc: TrajectoryConfig, beam_altitudes,
         * imu_noise * 0.1
 
     v, c = np.meshgrid(np.arange(rows), np.arange(n_cols), indexing="ij")
-    az_enc = np.pi * (1.0 - 2.0 * c / n_cols)      # encoder angle
+    # encoder angle, Ouster driver convention (2*pi*(1 - c/N) — matches
+    # config.loader.ouster_ray_dirs so the range-codec beam table agrees
+    # with this cloud without any yaw compensation)
+    az_enc = 2.0 * np.pi * (1.0 - c / n_cols)
     if beam_azimuths is not None:
         az_s = az_enc - np.asarray(beam_azimuths)[:, None] \
             * np.ones_like(az_enc)
     else:
         u_dest = (c + shifts[:, None]) % n_cols
-        az_s = np.pi * (1.0 - 2.0 * u_dest / n_cols)  # shift-quantized
+        az_s = 2.0 * np.pi * (1.0 - u_dest / n_cols)  # shift-quantized
     t_rel = (c / n_cols * period).reshape(-1)
     ca, sa = np.cos(az_s), np.sin(az_s)
     cal = np.cos(alt)[:, None] * np.ones_like(ca)

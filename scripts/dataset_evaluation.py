@@ -212,10 +212,6 @@ def run_synthetic_suite(out_json=None, out_md=None, round_tag=None):
         ate = out["ate_smooth"] if out.get("ate_smooth") is not None \
             else out["ate"]
         sm = getattr(out["sequencer"], "smoothed", None)
-        if out.get("ate_smooth") is not None and sm is None:
-            # synthetic_replay computes ate_smooth without attaching —
-            # recompute RTE from the raw trajectory in that case
-            sm = None
         rte = _rte_vs_gt(out["sequencer"], out["data"], smoothed=sm)
         ok = bool(ate < gate)
         rows.append(dict(sequence=name, ate_m=round(float(ate), 4),
