@@ -106,7 +106,8 @@ def main():
     # config salt, so geo/photo/profile variants coexist)
     step_cache = {}
 
-    def make_sequencer(photo=False, n_gn_iters=3, range_transfer=False):
+    def make_sequencer(photo=False, n_gn_iters=3, range_transfer=False,
+                       mesh=None):
         photo_cfg = None
         if photo:
             # full PG-LIO pipeline: intensity image build + FIR chain +
@@ -127,7 +128,7 @@ def main():
                    dict(max_scan_points=lm.n_rows * lm.n_cols // 4,
                         point_skip=4))
         return seq.Sequencer(
-            photo_cfg=photo_cfg,
+            photo_cfg=photo_cfg, mesh=mesh,
             # sensor-native range-image transfer: (r, t) int16 lanes +
             # device-side xyz reconstruction from the beam table — halves
             # H2D bytes vs the xyz int16 pack (the tunnel/PCIe, not
@@ -153,7 +154,7 @@ def main():
     scans = data["scans"]
 
     def replay_once(photo=False, n_gn_iters=3, time_host=False,
-                    range_transfer=False):
+                    range_transfer=False, mesh=None, sync=False):
         """One full replay; returns (steady-state scans/s, sequencer,
         median per-scan wall ms [, median host ms]). The median is the
         stall-robust figure for stage ATTRIBUTION (one relay hiccup — a
@@ -163,9 +164,14 @@ def main():
         replay's total said 31 scans/s while every per-scan sample sat
         at ~1.5 ms). ``time_host=True`` additionally medians the
         per-scan host time (pack + IMU feed — non-blocking work on the
-        critical path)."""
+        critical path). ``sync=True`` blocks on the updated window after
+        every scan: the per-scan wall then INCLUDES the device step time
+        instead of overlapping it — required for GN attribution (in the
+        async pattern the ~0.1-0.4 ms GN device cost hides entirely
+        under the ~1.5 ms host wall, which is why r3/r4's async-paired
+        t_gn was vacuous twice)."""
         s = make_sequencer(photo, n_gn_iters=n_gn_iters,
-                           range_transfer=range_transfer)
+                           range_transfer=range_transfer, mesh=mesh)
         host_ts = []
         scan_ts = []
         imu_i = 0
@@ -195,6 +201,8 @@ def main():
                                 imu["gyro"][imu_i:j])
                 imu_i = j
             s.add_scan(st["ts_header"], staged=st)   # async dispatch
+            if sync:
+                jax.block_until_ready(s.window.p)
             if i + 1 < len(scans):
                 staged_next = stage(i + 1)
                 if time_host:
@@ -231,8 +239,9 @@ def main():
     # per-variant medians aggregate samples from the same session phases
     # (r3's sequential layout measured the half-the-bytes range codec
     # 2.4x SLOWER than the fat codec purely because it ran last). Round 0
-    # additionally absorbs every program's compile; its samples still
-    # enter the median (median of 3 tolerates one cold sample).
+    # absorbs every program's compile; the headline median uses WARM
+    # rounds only (r4's photo-bulk figure was the lower of two warm
+    # samples because the cold round entered its median of 3).
     VARIANTS = [
         ("streaming", dict()),
         ("offline-bulk", dict(bulk=True)),
@@ -240,49 +249,101 @@ def main():
         ("offline-bulk-range", dict(bulk=True, range_transfer=True)),
         ("photo-streaming", dict(photo=True)),
         ("photo-bulk", dict(bulk=True, photo=True)),
+        # photo-bulk H2D fix (r5): the full-cloud photo chunk slab is
+        # 42 MB and the relay session's H2D bandwidth (0.4-1.7 GB/s,
+        # session luck) is the photo-bulk wall (probe_r5: t_bulk_put
+        # 141 ms of a ~180 ms chunk); the sensor-native range codec
+        # cuts the slab to 25 MB (6 B/pt vs 10)
+        ("photo-bulk-range", dict(bulk=True, photo=True,
+                                  range_transfer=True)),
+        # same pipeline through the mesh-sharded kernels on a 1-device
+        # mesh: the single-chip sharding tax — the measurable prefix of
+        # pod-scale efficiency (parallel/sharded.py's first perf datum
+        # on real hardware). Excluded from the headline: it answers
+        # "what does the mesh path cost", not "how fast is the chip".
+        ("sharded-streaming", dict(sharded=True)),
     ]
-    R = 3
+    # CPU (CI smoke / dead-TPU fallback): every variant salt is a FULL
+    # program set in THIS process's LLVM JIT code region, and 8 variants
+    # + the 12-GN attribution set exceed its reservation (measured r5:
+    # alloc-failure flood -> segfault, the same limit as the fuzz,
+    # tests/fuzz_worker.py). Keep the r4-proven 6-variant fleet and skip
+    # the wide-spread GN pairing there; the TPU artifact (remote
+    # executables, no local JIT) runs everything.
+    cpu_lite = tpu_ok is not True
+    if cpu_lite:
+        VARIANTS = [(n, kw) for n, kw in VARIANTS
+                    if n not in ("photo-bulk-range", "sharded-streaming")]
+    R = 4
     rates = {name: [] for name, _ in VARIANTS}
     scan_meds = []                  # per-round streaming 3-GN per-scan ms
-    nogn_meds = []                  # per-round streaming 0-GN per-scan ms
     host_meds = []
+    gn_hi_meds, gn_lo_meds = [], []   # per-round SYNC 12-GN / 0-GN ms
+    bulk_timers = {}                # variant -> last timers summary
     seqs = {}                       # last sequencer per variant (for ATE)
+    shard_error = None
+    _mesh = None
     floors = [relay_floor_ms()]
     for r in range(R):
         for name, kw in VARIANTS:
-            if kw.get("bulk"):
+            if kw.get("sharded"):
+                if shard_error is not None:
+                    continue
+                try:
+                    from mimosa_tpu.parallel import sharded as par
+                    if _mesh is None:
+                        _mesh = par.make_mesh(1, n_mp=1)
+                    rate_i, s_i, _tm = replay_once(mesh=_mesh)
+                except Exception as e:   # noqa: BLE001 — the artifact
+                    # must survive a mesh-path failure (first TPU run)
+                    shard_error = repr(e)
+                    continue
+            elif kw.get("bulk"):
                 rate_i, s_i = replay_once_bulk(
                     range_transfer=kw.get("range_transfer", False),
                     photo=kw.get("photo", False))
+                bulk_timers[name] = s_i.timers.summary()
             else:
                 rate_i, s_i, t_med_i = replay_once(
                     photo=kw.get("photo", False),
                     range_transfer=kw.get("range_transfer", False))
                 if name == "streaming":
                     scan_meds.append(t_med_i)
-                    # paired 0-GN attribution replay IMMEDIATELY after its
-                    # 3-GN partner: the t_gn delta is then an in-session
-                    # adjacent pairing, not a cross-phase artifact (r3's
-                    # t_gn came out 0.0 because the lone 0-GN replay ran
-                    # in a different session phase and measured SLOWER)
-                    _r0, _s0, t_nogn_i, t_host_i = replay_once(
-                        n_gn_iters=0, time_host=True)
-                    nogn_meds.append(t_nogn_i)
+                    # GN attribution: paired SYNC replays (block on the
+                    # window each scan so the device step is ON the
+                    # measured wall instead of overlapped by host work —
+                    # async pairing was vacuous two rounds running
+                    # because the ~0.1-0.4 ms GN cost hides entirely
+                    # under the ~1.5 ms async host wall) at 12 vs 0 GN
+                    # iterations: the 12-iteration spread lifts the
+                    # delta well above the relay's per-dispatch jitter;
+                    # scale back to the headline's 3 iterations.
+                    if not cpu_lite:
+                        _r12, _s12, t_hi = replay_once(n_gn_iters=12,
+                                                       sync=True)
+                        gn_hi_meds.append(t_hi)
+                    _r0, _s0, t_lo, t_host_i = replay_once(
+                        n_gn_iters=0, sync=True, time_host=True)
+                    gn_lo_meds.append(t_lo)
                     host_meds.append(t_host_i)
             rates[name].append(rate_i)
             seqs[name] = s_i
         if r == R // 2 or R == 1:
-            # fires after round 1 of R=3 — a true mid-run probe (r4
-            # advisor: R//2-1 fired after round 0, i.e. one-third in)
-            floors.append(relay_floor_ms())
+            floors.append(relay_floor_ms())   # true mid-run probe
     floors.append(relay_floor_ms())
 
-    med = {name: float(np.median(rs)) for name, rs in rates.items()}
+    # warm-only medians: drop the compile round (round 0) whenever at
+    # least two warm samples exist; report raw per-round rates alongside
+    med = {name: float(np.median(rs[1:] if len(rs) >= 3 else rs))
+           for name, rs in rates.items() if rs}
     t_scan_ms = float(np.median(scan_meds))
-    # per-round PAIRED deltas (3-GN minus adjacent 0-GN), then median —
-    # each delta is two back-to-back replays of the same session phase
-    t_gn_deltas = [a - b for a, b in zip(scan_meds, nogn_meds)]
-    t_gn_ms = float(np.median(t_gn_deltas))
+    # per-round paired sync deltas (12-GN minus adjacent 0-GN) = 12
+    # GN-iteration device costs; headline runs 3 iterations
+    t_gn_deltas = [a - b for a, b in zip(gn_hi_meds, gn_lo_meds)]
+    t_gn_unit_ms = (float(np.median(t_gn_deltas)) / 12.0
+                    if t_gn_deltas else float("nan"))
+    t_gn_ms = 3.0 * t_gn_unit_ms
+    t_step_sync_ms = float(np.median(gn_lo_meds))
     t_host_ms = float(np.median(host_meds))
 
     # ALL device->host fetches (trajectory reads for ATE) happen strictly
@@ -302,7 +363,8 @@ def main():
     # If EVERY variant fails the gate the round is broken — say so loudly
     # (gate_failed + an "ungated-" mode prefix) instead of silently
     # crowning a fast-but-wrong run (r3 advisor finding).
-    cands = [(med[name], name, ates[name]) for name, _ in VARIANTS]
+    cands = [(med[name], name, ates[name]) for name, _ in VARIANTS
+             if name in med and not name.startswith("sharded")]
     ok = [c for c in cands if c[2] < 0.05]
     gate_failed = not ok
     best, best_mode, _ = max(ok or cands, key=lambda c: c[0])
@@ -326,6 +388,11 @@ def main():
         "photo_ate_m": round(ates["photo-streaming"], 4),
         "photo_bulk_scans_per_s": round(med["photo-bulk"], 2),
         "photo_bulk_ate_m": round(ates["photo-bulk"], 4),
+        **({"photo_bulk_range_scans_per_s":
+                round(med["photo-bulk-range"], 2),
+            "photo_bulk_range_ate_m":
+                round(ates["photo-bulk-range"], 4)}
+           if "photo-bulk-range" in med else {}),
         # offline batch mode: identical per-scan program under lax.scan
         # chunks (one dispatch + one packed transfer per 32 scans)
         "bulk_scans_per_s": round(med["offline-bulk"], 2),
@@ -335,16 +402,48 @@ def main():
         "range_ate_m": round(ates["streaming-range"], 4),
         "range_bulk_scans_per_s": round(med["offline-bulk-range"], 2),
         "range_bulk_ate_m": round(ates["offline-bulk-range"], 4),
-        # per-stage attribution (ref LidarManagerDebug t_* fields),
-        # medians of per-scan walls with the SAME async pattern as the
-        # headline; t_gn from per-round ADJACENT 3-GN/0-GN pairings
+        # single-chip sharding tax: the identical streaming replay
+        # through the mesh-sharded kernels (1-device mesh) — bounds the
+        # mesh path's constant cost (collective/reshard overhead at
+        # n=1); the measurable prefix of the >=0.8 pod-efficiency
+        # target (BASELINE.md) in a 1-chip environment
+        **({"sharded_scans_per_s": round(med["sharded-streaming"], 2),
+            "sharded_ate_m": round(ates["sharded-streaming"], 4),
+            "shard_overhead_pct": round(
+                100.0 * (1.0 - med["sharded-streaming"]
+                         / med["streaming"]), 1)}
+           if "sharded-streaming" in med else
+           {"shard_skipped_cpu": True} if cpu_lite else
+           {"shard_error": shard_error}),
+        # per-stage attribution (ref LidarManagerDebug t_* fields).
+        # t_scan/t_host: async-pattern per-scan medians (the headline
+        # pattern). t_gn: DEVICE-side GN cost at the headline's 3
+        # iterations, from per-round adjacent SYNC 12-GN/0-GN pairings
+        # scaled by 3/12 (async pairing cannot see device time — it
+        # overlaps under the host wall; r3/r4's vacuous t_gn measured
+        # exactly that). t_step_sync: full synchronous per-scan wall at
+        # 0 GN iters (host + device + relay round-trip).
         "t_scan_ms": round(t_scan_ms, 3),
         "t_host_ms": round(t_host_ms, 3),
-        "t_gn_ms": round(t_gn_ms, 3),
-        "t_gn_deltas_ms": [round(d, 3) for d in t_gn_deltas],
-        # positive-at-3+1-linearizations sanity: if false, the session
-        # noise floor exceeded the GN cost — do not read t_gn_ms
-        "t_gn_consistent": bool(t_gn_ms > 0),
+        "t_step_sync_ms": round(t_step_sync_ms, 3),
+        **({"t_gn_ms": round(t_gn_ms, 3),
+            "t_gn_unit_ms": round(t_gn_unit_ms, 4),
+            "t_gn_deltas_ms": [round(d, 3) for d in t_gn_deltas],
+            # all (or all-but-one) 12-0 sync deltas positive: the
+            # spread resolved the GN cost above session jitter —
+            # t_gn_ms is real
+            "t_gn_consistent": bool(
+                t_gn_ms > 0
+                and sum(d > 0 for d in t_gn_deltas)
+                >= len(t_gn_deltas) - 1)}
+           if t_gn_deltas else {"t_gn_skipped_cpu": True}),
+        # host-side bulk chunk stage split (pack / H2D put / dispatch
+        # mean ms per 32-scan chunk) for the geo and the photometric
+        # bulk paths — the photo-bulk-vs-streaming gap attribution
+        "bulk_stages_ms": {
+            name: {k: round(v["mean_ms"], 3)
+                   for k, v in tmr.items() if k.startswith("t_bulk")}
+            for name, tmr in bulk_timers.items()},
         # relay session health: dispatch-floor ms at start/mid/end
         # (healthy streamed session ~0.1-0.3; degraded ~25). Explains
         # round-over-round headline swings: compare these before blaming

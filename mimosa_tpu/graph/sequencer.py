@@ -1218,7 +1218,7 @@ class Sequencer:
         self._traj_src.append(self.scan_idx - 1)
 
     # -------------------------------------------------------- bulk (offline)
-    def add_scans_bulk(self, scans, chunk=32):
+    def add_scans_bulk(self, scans, chunk=32, tail_chunk=None):
         """Offline batch replay: run the steady-state scan pipeline as a
         ``lax.scan`` over whole CHUNKS of scans — one device program and one
         packed H2D transfer per chunk instead of one dispatch + transfer per
@@ -1248,7 +1248,7 @@ class Sequencer:
         Delegates to :meth:`add_bulk` (scan-only event stream); the
         chunks stay on the scans-only bulk program.
         """
-        return self.add_bulk(scans, chunk=chunk)
+        return self.add_bulk(scans, chunk=chunk, tail_chunk=tail_chunk)
 
     @staticmethod
     def _scan_t_end(sc):
@@ -1343,7 +1343,9 @@ class Sequencer:
         else:
             scans_q = np.empty((C, n, ncol), np.dtype(self.dtype))
             pt_valids = np.empty((C, n), bool)
-        for k, sc in enumerate(scans):
+        tmr = self.timers.stage
+        with tmr("t_bulk_pack"):
+          for k, sc in enumerate(scans):
             self._pack_scan_row(sc, scans_q[k],
                                 pt_valids[k] if pt_valids is not None
                                 else None)
@@ -1355,15 +1357,18 @@ class Sequencer:
                 scan_idx0 + k, float(scans[k]["ts_header"]) - cursor, 0]
             cursor = t_ends[k]
         step = self._get_bulk_step(C)
-        (self.window, self.vmap, self.preints, self.fv, self.features,
-         self.kf_q, self.kf_p, self.kf_count, self.traj_q, self.traj_p,
-         self.debug_rec) = step(
-            self.window, self.vmap, self.preints, self.fv, self.features,
-            self.kf_q, self.kf_p, self.kf_count, self.traj_q, self.traj_p,
-            self.debug_rec, jax.device_put(scans_q),
-            jax.device_put(imu_packs),
-            jax.device_put(pt_valids) if pt_valids is not None else None,
-            self._ray_dirs_dev)
+        with tmr("t_bulk_put"):
+            dev = (jax.device_put(scans_q), jax.device_put(imu_packs),
+                   jax.device_put(pt_valids) if pt_valids is not None
+                   else None)
+        with tmr("t_bulk_dispatch"):
+            (self.window, self.vmap, self.preints, self.fv, self.features,
+             self.kf_q, self.kf_p, self.kf_count, self.traj_q, self.traj_p,
+             self.debug_rec) = step(
+                self.window, self.vmap, self.preints, self.fv,
+                self.features, self.kf_q, self.kf_p, self.kf_count,
+                self.traj_q, self.traj_p, self.debug_rec, *dev,
+                self._ray_dirs_dev)
         self.scan_idx += C
         self.state_ts = (self.state_ts + t_ends)[C:]
         self.last_state_ts = t_ends[-1]
@@ -1376,7 +1381,8 @@ class Sequencer:
     # ------------------------------------------------- multimodal bulk
     RADAR_BULK_PAD = 512          # target rows per frame (= add_radar)
 
-    def add_bulk(self, msgs, chunk=32, radar_cfg=None, odom_cfg=None):
+    def add_bulk(self, msgs, chunk=32, radar_cfg=None, odom_cfg=None,
+                 tail_chunk=None):
         """Offline MULTIMODAL batch replay: lidar scans, radar Doppler
         frames and external-odometry poses execute as mixed ``lax.scan``
         chunks — one device dispatch + one packed H2D per chunk, with a
@@ -1402,7 +1408,14 @@ class Sequencer:
         same-key scans, out-of-order radar, missing IMU, lag-triggered
         extra marginalization, odometry anchor establishment or
         D-optimality rejection) fall back to the streaming methods one by
-        one."""
+        one.
+
+        ``tail_chunk``: optional second (smaller) lax.scan chunk shape.
+        After full ``chunk``-size batches drain, remaining eligible runs
+        of >= ``tail_chunk`` events execute under a second compiled
+        program instead of streaming event-by-event. One more multi-
+        second relay compile per process buys a shorter streamed tail —
+        measured tradeoff in CLAUDE.md (r5); default off."""
         from mimosa_tpu.odometry import factor as odo
         from mimosa_tpu.radar import factor as rad
 
@@ -1484,15 +1497,19 @@ class Sequencer:
                     sim_sts = sim_sts[1:] + [t_disp]
                     cursor = t_disp
                     j += 1
-            while len(run) >= chunk:
-                batch = run[:chunk]
-                if all(code == 0 for code, _, _, _ in batch):
-                    self._run_bulk_chunk([m_ for _, m_, _, _ in batch],
-                                         [t for _, _, t, _ in batch])
-                else:
-                    self._run_bulk_chunk_mm(batch, rcfg, ocfg)
-                run = run[chunk:]
-                i += chunk
+            sizes = [chunk] + ([max(2, int(tail_chunk))]
+                               if tail_chunk else [])
+            for csize in sizes:
+                while len(run) >= csize:
+                    batch = run[:csize]
+                    if all(code == 0 for code, _, _, _ in batch):
+                        self._run_bulk_chunk(
+                            [m_ for _, m_, _, _ in batch],
+                            [t for _, _, t, _ in batch])
+                    else:
+                        self._run_bulk_chunk_mm(batch, rcfg, ocfg)
+                    run = run[csize:]
+                    i += csize
             # stream the (known-eligible) tail, or the single event that
             # needs a non-steady-state path
             end = max(i + len(run), i + 1)
