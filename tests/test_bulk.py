@@ -12,9 +12,17 @@ from mimosa_tpu.lidar import geometric as geo
 from mimosa_tpu.mapping import voxel_hash as vh
 
 
+# one module-wide step cache: every equivalence test builds a
+# streaming + a bulk sequencer of the SAME config — sharing halves the
+# XLA CPU compiles (the dominant cost of this module), and repeated
+# configs across tests reuse programs outright. Distinct cfg_kw get
+# distinct salts automatically.
+_STEP_CACHE = {}
+
+
 def _make_sequencer(photo_cfg=None, **kw):
     return seq.Sequencer(
-        photo_cfg=photo_cfg,
+        photo_cfg=photo_cfg, step_cache=_STEP_CACHE,
         seq_cfg=seq.SequencerConfig(
             max_scan_points=4096, n_geo_points=2048, n_map_points=4096,
             geo_leaf=0.4, map_insert_leaf=0.15,

@@ -26,7 +26,14 @@ from mimosa_tpu.mapping import voxel_hash as vh
 
 import os
 
-N_SEEDS = int(os.environ.get("MIMOSA_FUZZ_SEEDS", 20))
+# 12 seeds (r5, was 20): the corpus' branch-family coverage was
+# re-verified at this count (generator sweep: 9 radar / 10 odom / 6 lag
+# / 11 multimodal seeds in 0..11) and the aggregated-counter asserts
+# below still enforce every fallback family firing — the cut takes the
+# fuzz from ~1 h to ~35 min (per-seed cost is compile-bound, so fewer
+# seeds is the only real lever; see fuzz_worker.py). Full corpus:
+# MIMOSA_FUZZ_SEEDS=20.
+N_SEEDS = int(os.environ.get("MIMOSA_FUZZ_SEEDS", 12))
 
 # shared across every sequencer in the module: all seeds use the same
 # device-program configs, so each distinct program compiles exactly once

@@ -21,13 +21,20 @@ from mimosa_tpu.io import synthetic_replay as sr
 pytestmark = pytest.mark.heavy
 
 
+# shared across every sr.run of the module: the repeated-config replays
+# (photometric_beats_geometric re-runs both configs the earlier tests
+# already compiled) then reuse programs instead of recompiling
+_STEP_CACHE = {}
+
+
 @pytest.fixture(scope="module")
 def corridor():
     world = syn.corridor_world()
     tc = syn.TrajectoryConfig(t_total=8.0, amp=(4.0, 0.6, 0.3),
                               center=(40.0, 2.0, 1.5), yaw_rate=0.15)
     return dict(world=world, tc=tc, seed=0, imu_noise=0.01,
-                range_noise=0.005, verbose=False)
+                range_noise=0.005, verbose=False,
+                step_cache=_STEP_CACHE)
 
 
 def test_corridor_degeneracy_is_detected(corridor):

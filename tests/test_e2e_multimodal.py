@@ -12,10 +12,17 @@ from mimosa_tpu.io import synthetic_replay as sr
 pytestmark = pytest.mark.heavy
 
 
+# module-wide program sharing: the direct sequencer config below is
+# identical across all four modality tests, and the sr.run baselines
+# share theirs too — XLA CPU recompiles dominate this module's runtime
+_STEP_CACHE = {}
+
+
 def merged_replay(t_total=6.0, use_radar=False, use_odom=False, seed=0):
     """Replay lidar+imu plus optional radar/odometry, event-ordered."""
     out_base = sr.run(t_total=t_total, verbose=False, seed=seed,
-                      imu_noise=0.01, range_noise=0.01)
+                      imu_noise=0.01, range_noise=0.01,
+                      step_cache=_STEP_CACHE)
     # rebuild a fresh sequencer and replay with the extra modalities
     data = out_base["data"]
     tc = syn.TrajectoryConfig(t_total=t_total)
@@ -41,7 +48,7 @@ def merged_replay(t_total=6.0, use_radar=False, use_odom=False, seed=0):
         map_cfg=vh.VoxelMapConfig(leaf_size=0.4, capacity_log2=17,
                                   plane_min_points=5, lru_horizon=0),
         geo_cfg=geo.GeometricConfig(sigma=0.05, loc_count_thresh=50.0),
-        dtype=jnp.float32,
+        dtype=jnp.float32, step_cache=_STEP_CACHE,
     )
 
     events = []
@@ -99,7 +106,8 @@ def test_full_four_modality():
 
 def test_geo_plus_photometric():
     """ENWIDE-style geometric+photometric+IMU config."""
-    out = sr.run(t_total=5.0, verbose=False, seed=2, use_photometric=True)
+    out = sr.run(t_total=5.0, verbose=False, seed=2, use_photometric=True,
+                 step_cache=_STEP_CACHE)
     assert out["ate"] < 0.08, out["ate"]
     po = out["sequencer"].last_photo
     assert po is not None

@@ -10,9 +10,13 @@ import pytest
 
 from mimosa_tpu.io import synthetic_replay as sr
 
+# module-wide compiled-program sharing (same-config sr.run calls
+# recompile everything otherwise; XLA CPU compiles dominate runtime)
+_SC = {}
+
 
 def test_e2e_clean():
-    out = sr.run(t_total=6.0, verbose=False)
+    out = sr.run(t_total=6.0, verbose=False, step_cache=_SC)
     assert out["counters"]["scans_no_imu"] == 0
     assert out["sequencer"].num_keyframes > 5
     assert out["ate"] < 0.05, out["ate"]
@@ -21,13 +25,13 @@ def test_e2e_clean():
 @pytest.mark.heavy
 def test_e2e_noisy_imu_and_range():
     out = sr.run(t_total=6.0, verbose=False, seed=3, imu_noise=0.02,
-                 range_noise=0.01)
+                 range_noise=0.01, step_cache=_SC)
     assert out["ate"] < 0.08, out["ate"]
 
 
 def test_e2e_deterministic():
-    a = sr.run(t_total=4.0, verbose=False, seed=5)
-    b = sr.run(t_total=4.0, verbose=False, seed=5)
+    a = sr.run(t_total=4.0, verbose=False, seed=5, step_cache=_SC)
+    b = sr.run(t_total=4.0, verbose=False, seed=5, step_cache=_SC)
     ta = np.asarray([p for _, p, _ in a["sequencer"].trajectory])
     tb = np.asarray([p for _, p, _ in b["sequencer"].trajectory])
     np.testing.assert_array_equal(ta, tb)
@@ -39,7 +43,7 @@ def test_e2e_4dof_registration():
     ICP constrains only yaw+translation, roll/pitch ride gravity/IMU — the
     full replay must still track."""
     out = sr.run(t_total=5.0, verbose=False, seed=1, imu_noise=0.01,
-                 range_noise=0.005, use_4dof=True)
+                 range_noise=0.005, use_4dof=True, step_cache=_SC)
     assert out["ate"] < 0.08, out["ate"]
 
 
@@ -50,9 +54,9 @@ def test_e2e_two_pass_refinement():
     trajectory — which pass 1 estimated against a sparse newborn map —
     must come back at least as good, and the absolute gate tightens."""
     out1 = sr.run(t_total=6.0, verbose=False, seed=3, imu_noise=0.02,
-                  range_noise=0.01)
+                  range_noise=0.01, step_cache=_SC)
     out2 = sr.run(t_total=6.0, verbose=False, seed=3, imu_noise=0.02,
-                  range_noise=0.01, two_pass=True)
+                  range_noise=0.01, two_pass=True, step_cache=_SC)
     assert out2["ate"] < 0.05, (out1["ate"], out2["ate"])
     # loose relative bound only: noisy-replay ATE diffs between two runs
     # that both track are chaotic (CLAUDE.md) — gate on "not much worse",
@@ -68,7 +72,7 @@ def test_e2e_batch_smoothing():
     absorbed pose quadratic + a re-preintegrated IMU chain must improve
     the fixed-lag result (early poses finally see later information)."""
     out = sr.run(t_total=6.0, verbose=False, seed=3, imu_noise=0.02,
-                 range_noise=0.01, smooth=True)
+                 range_noise=0.01, smooth=True, step_cache=_SC)
     assert out["ate_smooth"] < 0.05, out["ate_smooth"]
     # loose relative bound only (chaotic noisy-replay diffs, CLAUDE.md);
     # measured typical: 6.9 -> 5.2 mm
