@@ -22,7 +22,8 @@ import json
 import os
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
 
 # COIN-LIO published results on ENWIDE — the bar to beat
 # (ref scripts/dataset_evaluation.py:152-154)
@@ -128,13 +129,82 @@ def _rte_vs_gt(s, data, smoothed=None):
 # degenerate corridor x pipeline, multimodal, refinement compositions).
 # Gates mirror the e2e test gates (CLAUDE.md: <1 cm clean / <8 cm noisy;
 # corridor hierarchy from tests/test_corridor_pglio.py).
-def run_synthetic_suite(out_json=None, out_md=None, round_tag=None):
+def run_synthetic_suite(out_json=None, out_md=None, round_tag=None,
+                        only=None):
     import numpy as np
 
     from mimosa_tpu.io import synthetic as syn
     from mimosa_tpu.io import synthetic_replay as sr
 
     noisy = dict(imu_noise=0.01, range_noise=0.01, verbose=False)
+    # one compiled-program cache across the whole suite: repeated
+    # configs (the room family, the corridor pair, two-pass) reuse
+    # programs instead of recompiling (XLA CPU compiles dominate)
+    _sc = {}
+
+    def fast_spin():
+        """Aggressive-motion sequence: ~1.8 rad/s sustained yaw with
+        fast translation oscillation — stresses deskew and the re-skew
+        path (a motion family the r4 suite lacked; VERDICT r4 weak #7)."""
+        return sr.run(world=syn.room_world(), step_cache=_sc,
+                      tc=syn.TrajectoryConfig(
+                          t_total=8.0, yaw_rate=1.8,
+                          amp=(3.0, 1.6, 0.4), freq=(0.22, 0.31, 0.40)),
+                      seed=0, **noisy)
+
+    def dropout_ooo():
+        """Robustness sequence: 15% scan dropout plus adjacent-scan
+        order swaps (scan-OOO path) and two same-key duplicates — the
+        failure-handling counters must fire AND tracking must hold."""
+        import jax.numpy as jnp
+
+        from mimosa_tpu.graph import sequencer as seq
+        from mimosa_tpu.graph import window as win
+        from mimosa_tpu.lidar import geometric as geo
+        from mimosa_tpu.mapping import voxel_hash as vh
+        lm = syn.LidarModel()
+        tc = syn.TrajectoryConfig(t_total=8.0)
+        data = syn.generate(syn.room_world(), tc, lm, seed=3,
+                            imu_noise=0.01, range_noise=0.01)
+        s = seq.Sequencer(
+            seq_cfg=seq.SequencerConfig(
+                max_scan_points=max(4096, lm.n_rows * lm.n_cols),
+                n_geo_points=4096, n_map_points=8192, geo_leaf=0.4,
+                map_insert_leaf=0.15, keyframe_trans_thresh=0.3,
+                keyframe_rot_thresh=0.15, n_gn_iters=3),
+            win_cfg=win.WindowConfig(K=6),
+            map_cfg=vh.VoxelMapConfig(leaf_size=0.4, capacity_log2=17,
+                                      plane_min_points=5, lru_horizon=0),
+            geo_cfg=geo.GeometricConfig(),
+            dtype=jnp.float32)
+        rng = np.random.default_rng(7)
+        scans = []
+        for k, sc in enumerate(data["scans"]):
+            if k > 8 and rng.random() < 0.15:
+                continue                      # dropout
+            scans.append(sc)
+            if k in (15, 30):                 # same-key duplicates
+                scans.append(dict(sc, ts_header=sc["ts_header"] + 2e-3))
+        for k in range(10, len(scans) - 1, 9):
+            scans[k], scans[k + 1] = scans[k + 1], scans[k]  # OOO swaps
+        imu, imu_i = data["imu"], 0
+        for sc in scans:
+            te = seq.Sequencer._scan_t_end(sc)
+            j = int(np.searchsorted(imu["ts"], te + 0.03, "right"))
+            if j > imu_i:
+                s.add_imu_batch(imu["ts"][imu_i:j], imu["acc"][imu_i:j],
+                                imu["gyro"][imu_i:j])
+                imu_i = j
+            s.add_scan(sc["ts_header"], sc["points"], sc["t_rel"],
+                       sc.get("valid"))
+        assert s.counters.get("scans_dropped_ooo", 0) \
+            + s.counters.get("scans_ooo_inserted", 0) > 0
+        assert s.counters.get("scans_same_key", 0) > 0
+        est_t = np.asarray([t for t, _, _ in s.trajectory])
+        est_p = np.asarray([p for _, p, _ in s.trajectory])
+        ate = syn.ate_rmse(est_t, est_p, data["gt"]["ts"],
+                           data["gt"]["pos"])
+        return dict(ate=ate, sequencer=s, data=data, ate_smooth=None)
 
     def corridor_kw():
         return dict(world=syn.corridor_world(),
@@ -186,42 +256,70 @@ def run_synthetic_suite(out_json=None, out_md=None, round_tag=None):
                            data["gt"]["pos"])
         return dict(ate=ate, sequencer=s, data=data, ate_smooth=None)
 
-    # (name, thunk, ate_gate_m) — thunks return synthetic_replay-style
-    # dicts; score ate_smooth when present
+    # (name, thunk, ate_gate_m, rte_gate_pct) — thunks return
+    # synthetic_replay-style dicts; score ate_smooth when present. BOTH
+    # metrics gate (ref dataset_evaluation.py:152-154 gates ATE and
+    # RTE); gates sit 2-10x above the r4 measured values, tight enough
+    # to catch a real regression, loose enough to ride run-to-run
+    # chaos (CLAUDE.md: the estimator is chaotic near tracking loss).
     SEQS = [
-        ("room_clean", lambda: sr.run(verbose=False), 0.010),
-        ("room_noisy", lambda: sr.run(**noisy), 0.080),
-        ("room_noisy_two_pass", lambda: sr.run(two_pass=True, **noisy),
-         0.080),
+        ("room_clean", lambda: sr.run(verbose=False, step_cache=_sc), 0.010, 0.5),
+        ("room_noisy", lambda: sr.run(**noisy, step_cache=_sc), 0.080, 0.5),
+        ("room_noisy_two_pass", lambda: sr.run(two_pass=True, **noisy, step_cache=_sc),
+         0.080, 0.5),
         ("room_noisy_smooth",
-         lambda: sr.run(two_pass=True, smooth=True, **noisy), 0.080),
+         lambda: sr.run(two_pass=True, smooth=True, **noisy, step_cache=_sc), 0.080, 0.5),
         ("room_photometric",
-         lambda: sr.run(use_photometric=True, **noisy), 0.080),
+         lambda: sr.run(use_photometric=True, **noisy, step_cache=_sc), 0.080, 0.5),
         ("room_range_codec",
-         lambda: sr.run(range_transfer=True, **noisy), 0.080),
+         lambda: sr.run(range_transfer=True, **noisy, step_cache=_sc), 0.080, 0.5),
+        # honest-IMU-drift scale (measured 0.73 m r4); the old 10.0 m
+        # gate only caught total explosion (VERDICT r4 weak #7)
         ("corridor_geo_proj",
-         lambda: sr.run(project_degenerate=True, **corridor_kw()), 10.0),
+         lambda: sr.run(project_degenerate=True, step_cache=_sc,
+                        **corridor_kw()),
+         3.0, 40.0),
         ("corridor_pglio",
          lambda: sr.run(use_photometric=True, project_on_degeneracy=True,
-                        project_degenerate=True, **corridor_kw()), 0.80),
-        ("corridor_radar_bulk", corridor_radar, 0.20),
+                        project_degenerate=True, step_cache=_sc,
+                        **corridor_kw()),
+         0.80, 5.0),
+        ("corridor_radar_bulk", corridor_radar, 0.20, 2.0),
+        ("fast_spin", fast_spin, 0.080, 1.0),
+        ("dropout_ooo", dropout_ooo, 0.080, 0.5),
     ]
     rows = []
-    for name, thunk, gate in SEQS:
+    for name, thunk, gate, rte_gate in SEQS:
+        if only and name not in only:
+            continue
         out = thunk()
         ate = out["ate_smooth"] if out.get("ate_smooth") is not None \
             else out["ate"]
         sm = getattr(out["sequencer"], "smoothed", None)
         rte = _rte_vs_gt(out["sequencer"], out["data"], smoothed=sm)
-        ok = bool(ate < gate)
+        ok = bool(ate < gate) and bool(rte < rte_gate)
         rows.append(dict(sequence=name, ate_m=round(float(ate), 4),
                          rte_pct=round(float(rte), 3),
-                         gate_m=gate, passed=ok))
+                         gate_m=gate, rte_gate_pct=rte_gate, passed=ok))
         print(f"{name:24s} ATE {ate:8.4f} m  RTE {rte:6.3f} %  "
-              f"gate {gate:g}  {'PASS' if ok else 'FAIL'}")
+              f"gates {gate:g}/{rte_gate:g}  {'PASS' if ok else 'FAIL'}")
     all_pass = all(r["passed"] for r in rows)
-    blob = dict(suite="synthetic_accuracy_v1", rows=rows,
+    # provenance: a CPU-run artifact must be distinguishable from a TPU
+    # one, and the scores attributable to a commit (VERDICT r4 weak #7)
+    import subprocess
+    import time as _time
+    try:
+        commit = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"], cwd=_REPO,
+            capture_output=True, text=True).stdout.strip() or None
+    except OSError:
+        commit = None
+    import jax
+    blob = dict(suite="synthetic_accuracy_v2", rows=rows,
                 all_pass=all_pass,
+                platform=jax.devices()[0].platform,
+                commit=commit,
+                date=_time.strftime("%Y-%m-%d"),
                 **({"round": round_tag} if round_tag else {}))
     if out_json:
         with open(out_json, "w") as f:
@@ -283,7 +381,8 @@ def main():
     if args.synthetic:
         blob = run_synthetic_suite(out_json=args.out_json,
                                    out_md=args.out_md,
-                                   round_tag=args.round)
+                                   round_tag=args.round,
+                                   only=args.sequences or None)
         sys.exit(0 if blob["all_pass"] else 1)
 
     if args.compare_bags:
