@@ -133,6 +133,12 @@ def run_synthetic_suite(out_json=None, out_md=None, round_tag=None,
                         only=None):
     import numpy as np
 
+    import jax
+    # persistent compile cache: first-ever TPU compiles through the
+    # relay cost minutes; cached reruns are seconds (same as bench.py)
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from mimosa_tpu.io import synthetic as syn
     from mimosa_tpu.io import synthetic_replay as sr
 
