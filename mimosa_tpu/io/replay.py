@@ -115,9 +115,16 @@ def replay_bag(bag_path, config_path, imu_topic, lidar_topic,
     would otherwise silently corrupt every point."""
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
     if platform:
         jax.config.update("jax_platforms", platform)
+    # Persistent compile cache ONLY off-CPU: serializing/deserializing
+    # XLA:CPU executables segfaults on the big window programs (see
+    # CLAUDE.md "DO NOT enable the persistent XLA compile cache for CPU
+    # test runs" — r5 reproduced the crash on the *write* path too, in
+    # compilation_cache.put_executable_and_time during the default test
+    # tier once this line ran unconditionally).
+    if jax.default_backend() != "cpu":
+        jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
     import jax.numpy as jnp
     import numpy as np
 

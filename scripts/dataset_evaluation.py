@@ -135,9 +135,13 @@ def run_synthetic_suite(out_json=None, out_md=None, round_tag=None,
 
     import jax
     # persistent compile cache: first-ever TPU compiles through the
-    # relay cost minutes; cached reruns are seconds (same as bench.py)
-    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # relay cost minutes; cached reruns are seconds (same as bench.py).
+    # NEVER on CPU: (de)serializing XLA:CPU executables segfaults on the
+    # big window programs (CLAUDE.md compile-cache gotcha).
+    if jax.default_backend() != "cpu":
+        jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          1.0)
 
     from mimosa_tpu.io import synthetic as syn
     from mimosa_tpu.io import synthetic_replay as sr
